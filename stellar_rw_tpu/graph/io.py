@@ -1,0 +1,150 @@
+"""Edge-list I/O with the reference's exact parsing semantics, plus output writers.
+
+Parsing parity (reference algorithm/UniformRandomWalk.scala:17-43):
+  - tokens split on whitespace; src=col0, dst=col1 (ints)
+  - weight = last column parsed as float IF (weighted AND >2 columns), else 1.0;
+    unparseable weight falls back to 1.0 (Try(...).getOrElse(1.0f))
+  - undirected: both (src->dst) and (dst->src) arcs with the same weight
+  - directed: src->dst only, but dst is still registered as a vertex (possibly
+    degree-0) so every mentioned vertex seeds a walker
+  - multi-edges are preserved, never deduped
+
+Partitioned variant (reference algorithm/VCutRandomWalk.scala:19-41):
+  - partition id = col2 IF (partitioned AND >2 columns), else random in
+    [0, rddPartitions); unparseable pid falls back to random
+  - weight = last column IF (weighted AND >3 columns), else 1.0
+
+Output layout parity (reference README.md:141-166, Main.scala:36-44,
+RandomWalk.scala:234-241): `<out>/path` tab-separated vertex-id walks,
+`<out>/vec` "id\tv0\tv1..." embeddings, `<out>/bin` model artifacts; single file
+(part-00000) when singleOutput else rddPartitions files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..utils.config import PATH_SUFFIX, VECTOR_SUFFIX
+from .csr import CSRGraph, from_adjacency
+
+
+def _parse_weight(tok: str) -> float:
+    try:
+        return float(tok)
+    except ValueError:
+        return 1.0
+
+
+def load_edge_list(path: str, weighted: bool = True, directed: bool = False) -> CSRGraph:
+    """Uniform (hash-partitioned) load path — reference UniformRandomWalk.loadGraph."""
+    adj: dict[int, list[tuple[int, float]]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            src, dst = int(parts[0]), int(parts[1])
+            w = _parse_weight(parts[-1]) if (weighted and len(parts) > 2) else 1.0
+            adj.setdefault(src, []).append((dst, w))
+            if directed:
+                adj.setdefault(dst, [])
+            else:
+                adj.setdefault(dst, []).append((src, w))
+    return from_adjacency(adj)
+
+
+def load_edge_list_partitioned(
+    path: str,
+    weighted: bool = True,
+    directed: bool = False,
+    partitioned: bool = False,
+    num_partitions: int = 1,
+    seed: int = 0,
+) -> tuple[CSRGraph, np.ndarray]:
+    """Vertex-cut load path — reference VCutRandomWalk.loadGraph.
+
+    Returns (graph, home_partition i32[V]): home = partition id of the vertex's first
+    edge record in file order (the deterministic analog of the reference's reduceByKey
+    keeping one record's pId as the vertex home, VCutRandomWalk.scala:49,92-97).
+    Unpartitioned records draw a random pid (VCutRandomWalk.scala:23-26).
+    """
+    rng = np.random.default_rng(seed)
+    adj: dict[int, list[tuple[int, float]]] = {}
+    home: dict[int, int] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            src, dst = int(parts[0]), int(parts[1])
+            if partitioned and len(parts) > 2:
+                try:
+                    pid = int(parts[2])
+                except ValueError:
+                    pid = int(rng.integers(num_partitions))
+            else:
+                pid = int(rng.integers(num_partitions))
+            w = _parse_weight(parts[-1]) if (weighted and len(parts) > 3) else 1.0
+            adj.setdefault(src, []).append((dst, w))
+            home.setdefault(src, pid)
+            if directed:
+                adj.setdefault(dst, [])
+            else:
+                adj.setdefault(dst, []).append((src, w))
+            home.setdefault(dst, pid)
+    g = from_adjacency(adj)
+    home_arr = np.fromiter((home[int(o)] for o in g.ids), dtype=np.int32, count=g.num_vertices)
+    return g, home_arr
+
+
+def _part_files(out_dir: str, n: int) -> list[str]:
+    return [os.path.join(out_dir, f"part-{i:05d}") for i in range(n)]
+
+
+def save_walks(walks: np.ndarray, graph: CSRGraph, output: str, partitions: int = 1) -> str:
+    """Write the walk corpus as tab-separated original vertex ids, one walk per line,
+    -1 padding stripped (reference RandomWalk.save:234-241)."""
+    out_dir = os.path.join(output, PATH_SUFFIX)
+    os.makedirs(out_dir, exist_ok=True)
+    files = _part_files(out_dir, max(1, partitions))
+    chunks = np.array_split(np.arange(len(walks)), len(files))
+    for fname, idx in zip(files, chunks):
+        with open(fname, "w") as f:
+            for r in idx:
+                row = walks[r]
+                row = row[row >= 0]
+                f.write("\t".join(str(int(graph.ids[v])) for v in row) + "\n")
+    return out_dir
+
+
+def load_walks(path: str) -> list[list[int]]:
+    """Read a walk corpus (original ids) from a file or a /path-style directory."""
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.startswith("part-")
+        )
+    corpus: list[list[int]] = []
+    for fn in files:
+        with open(fn) as f:
+            for line in f:
+                toks = line.split()
+                if toks:
+                    corpus.append([int(t) for t in toks])
+    return corpus
+
+
+def save_vectors(ids: np.ndarray, vectors: np.ndarray, output: str, partitions: int = 1) -> str:
+    """Write embeddings as "<orig-id>\\t<v0>\\t<v1>..." (reference Main.scala:40-43)."""
+    out_dir = os.path.join(output, VECTOR_SUFFIX)
+    os.makedirs(out_dir, exist_ok=True)
+    files = _part_files(out_dir, max(1, partitions))
+    chunks = np.array_split(np.arange(len(ids)), len(files))
+    for fname, idx in zip(files, chunks):
+        with open(fname, "w") as f:
+            for r in idx:
+                vec = "\t".join(repr(float(x)) for x in vectors[r])
+                f.write(f"{int(ids[r])}\t{vec}\n")
+    return out_dir

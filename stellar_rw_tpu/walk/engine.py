@@ -1,0 +1,126 @@
+"""Single-chip dense walk engine.
+
+The TPU-native replacement for the reference's BSP walk orchestration
+(reference algorithm/RandomWalk.scala:75-176). Design changes (SURVEY.md §7):
+
+  - No driver-side superstep loop, no unfinished-walker filtering, no walker transfer:
+    ALL walkers advance in lock-step inside one `lax.scan`; dead-ends and completion are
+    masks over a dense [W, walk_length+2] i32 buffer (-1 padding).
+  - The reference's walk-shape invariants hold exactly: a full path has walk_length+2
+    vertices (source + first-order step + walk_length second-order steps,
+    RandomWalk.scala:103,132); dead-ends cut it short; an isolated source yields a
+    length-1 path (RandomWalk.scala:59-61); the corpus is num_walks paths per vertex
+    (RandomWalk.scala:82, README.md:146).
+  - Randomness is counter-based: the uniform consumed by walker w at step t is
+    uniform(fold_in(key, t))[w], so runs are reproducible and independent of device
+    layout — the TPU analog of the reference's injected `nextFloat` seam used by its
+    deterministic tests (RandomWalk.scala:75-76).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import CSRGraph
+from ..ops import sampling
+from ..ops.sampling import DeviceGraph
+
+
+class WalkSpec(NamedTuple):
+    """Static walk configuration (hashable: used as a jit static argument)."""
+
+    walk_length: int
+    p: float
+    q: float
+    sampler: str = "rejection"   # "rejection" | "cdf"
+    max_degree: int = 0          # static padded degree (cdf sampler)
+    n_search_iters: int = 32     # binary-search iterations (>= log2(max_degree)+1)
+    max_rounds: int = 64         # rejection-sampler round cap
+    dtype: str = "float32"       # CDF accumulation dtype ("float64" for oracle parity)
+
+
+def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
+    """One second-order transition for every walker (masked by `alive`)."""
+    dt = jnp.dtype(spec.dtype)
+    if spec.sampler == "cdf":
+        u = jax.random.uniform(step_key, cur.shape, dtype=dt)
+        dst = sampling.cdf_sample_second_order(
+            g, cur, prev, u, spec.p, spec.q, spec.max_degree, spec.n_search_iters, dt)
+    else:
+        dst = sampling.rejection_sample(
+            g, cur, prev, alive, step_key, spec.p, spec.q,
+            spec.n_search_iters, spec.max_rounds)
+    return dst
+
+
+def first_step(g: DeviceGraph, spec: WalkSpec, starts, step_key):
+    """First-order step (reference RandomWalk.initFirstStep:51-66)."""
+    dt = jnp.dtype(spec.dtype)
+    if spec.sampler == "cdf":
+        u = jax.random.uniform(step_key, starts.shape, dtype=dt)
+        dst = sampling.cdf_sample_first_order(g, starts, u, spec.max_degree, dt)
+    else:
+        u = jax.random.uniform(step_key, (2,) + starts.shape)
+        dst = sampling.alias_draw(g, starts, u[0], u[1])
+    return dst
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def walk_once(g: DeviceGraph, starts: jax.Array, key: jax.Array, spec: WalkSpec) -> jax.Array:
+    """One walk per start vertex -> [W, walk_length+2] dense ids, -1 padded."""
+    deg = g.offsets[1:] - g.offsets[:-1]
+    deg_s = deg[starts]
+    alive0 = deg_s > 0
+    dst0 = first_step(g, spec, starts, jax.random.fold_in(key, 0))
+    first = jnp.where(alive0, dst0, -1)
+
+    def body(carry, t):
+        cur, prev, alive = carry
+        alive = alive & (deg[cur] > 0)
+        dst = sample_next(g, spec, cur, prev, alive, jax.random.fold_in(key, t))
+        out = jnp.where(alive, dst, -1)
+        new_cur = jnp.where(alive, dst, cur)
+        new_prev = jnp.where(alive, cur, prev)
+        return (new_cur, new_prev, alive), out
+
+    (_, _, _), cols = jax.lax.scan(
+        body, (first, starts, alive0), jnp.arange(1, spec.walk_length + 1))
+    return jnp.concatenate(
+        [starts[:, None], first[:, None], cols.T.astype(jnp.int32)], axis=1)
+
+
+def random_walks(
+    graph: CSRGraph,
+    walk_length: int,
+    num_walks: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    sampler: str = "rejection",
+    dtype: str = "float32",
+    starts: np.ndarray | None = None,
+    device_graph: DeviceGraph | None = None,
+) -> np.ndarray:
+    """Full corpus: num_walks rounds of one walk per vertex (reference
+    RandomWalk.scala:82). Returns [num_walks * W, walk_length + 2] dense ids (-1 pad);
+    round r of walker w sits at row r*W + w."""
+    g = device_graph if device_graph is not None else sampling.device_put_graph(graph)
+    if starts is None:
+        starts = np.arange(graph.num_vertices, dtype=np.int32)
+    spec = WalkSpec(
+        walk_length=walk_length, p=float(p), q=float(q), sampler=sampler,
+        max_degree=max(graph.max_degree, 1),
+        n_search_iters=sampling.search_iters(graph.max_degree),
+        dtype=dtype,
+    )
+    starts_dev = jnp.asarray(starts, dtype=jnp.int32)
+    base = jax.random.PRNGKey(seed)
+    rounds = []
+    for r in range(num_walks):
+        rounds.append(walk_once(g, starts_dev, jax.random.fold_in(base, r), spec))
+    return np.asarray(jnp.concatenate(rounds, axis=0))

@@ -1,0 +1,106 @@
+"""Graph loading parity with the reference's load tests
+(UniformRandomWalkTest.scala:33-67: karate = 34 V / 156 arcs undirected, 78 directed)."""
+
+import numpy as np
+import pytest
+
+from stellar_rw_tpu.graph import csr, io
+
+
+def test_karate_undirected(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    assert g.num_vertices == 34
+    assert g.num_edges == 156  # doubled arcs, multi-edge (9,33) preserved
+    # symmetry: arc counts match both ways
+    for v in range(g.num_vertices):
+        cols, _ = g.neighbors(v)
+        for d in cols:
+            dc, _ = g.neighbors(int(d))
+            assert np.sum(dc == v) >= 1
+
+
+def test_karate_directed(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=True)
+    assert g.num_vertices == 34
+    assert g.num_edges == 78
+    # dst-only vertices exist with empty adjacency (isolated walkers still seeded)
+    assert int((g.degrees == 0).sum()) > 0
+
+
+def test_testgraph_directed(testgraph_path):
+    g = io.load_edge_list(testgraph_path, weighted=False, directed=True)
+    assert g.num_vertices == 2
+    assert g.num_edges == 1
+    one = {int(o): i for i, o in enumerate(g.ids)}
+    cols, w = g.neighbors(one[1])
+    assert list(g.ids[cols]) == [2] and list(w) == [1.0]
+    assert g.neighbors(one[2])[0].size == 0
+
+
+def test_weight_parsing(tmp_path):
+    # weighted && >2 cols -> last col parsed; junk falls back to 1.0
+    f = tmp_path / "g.txt"
+    f.write_text("1 2 0.5\n2 3 junk\n3 4\n")
+    g = io.load_edge_list(str(f), weighted=True, directed=True)
+    one = {int(o): i for i, o in enumerate(g.ids)}
+    assert g.neighbors(one[1])[1][0] == np.float32(0.5)
+    assert g.neighbors(one[2])[1][0] == 1.0
+    assert g.neighbors(one[3])[1][0] == 1.0
+    # unweighted ignores the column entirely
+    g2 = io.load_edge_list(str(f), weighted=False, directed=True)
+    assert g2.neighbors(one[1])[1][0] == 1.0
+
+
+def test_rows_sorted_and_multiedge(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    for v in range(g.num_vertices):
+        cols, _ = g.neighbors(v)
+        assert np.all(np.diff(cols) >= 0)
+    # multi-edge (9,33) appears twice in 9's row
+    nine = {int(o): i for i, o in enumerate(g.ids)}[9]
+    cols, _ = g.neighbors(nine)
+    t33 = {int(o): i for i, o in enumerate(g.ids)}[33]
+    assert int(np.sum(cols == t33)) == 2
+
+
+def test_partitioned_load(tmp_path):
+    f = tmp_path / "g.txt"
+    f.write_text("1 2 0 2.0\n2 3 1 3.0\n4 1 1\n")
+    g, home = io.load_edge_list_partitioned(
+        str(f), weighted=True, directed=False, partitioned=True, num_partitions=4)
+    idx = {int(o): i for i, o in enumerate(g.ids)}
+    assert home[idx[1]] == 0 and home[idx[2]] == 0 and home[idx[3]] == 1
+    assert home[idx[4]] == 1
+    # weight needs >3 cols when partitioned
+    cols, w = g.neighbors(idx[4])
+    assert w[0] == 1.0
+    cols, w = g.neighbors(idx[2])
+    assert np.float32(3.0) in w and np.float32(2.0) in w
+
+
+def test_alias_tables_match_weights(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    g.build_alias_tables()
+    # alias table expectation: sum over cells mapping to neighbor j == deg * P(j)
+    for v in [0, 5, 33]:
+        s, e = int(g.offsets[v]), int(g.offsets[v + 1])
+        d = e - s
+        if d == 0:
+            continue
+        mass = np.zeros(d)
+        for i in range(d):
+            mass[i] += g.alias_prob[s + i]
+            mass[g.alias_pos[s + i]] += 1.0 - g.alias_prob[s + i]
+        w = g.weights[s:e].astype(np.float64)
+        np.testing.assert_allclose(mass / d, w / w.sum(), rtol=1e-5)
+
+
+def test_save_load_walks_roundtrip(tmp_path, karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = np.array([[0, 1, 2, -1, -1], [3, 4, -1, -1, -1]], dtype=np.int32)
+    out = io.save_walks(walks, g, str(tmp_path), partitions=1)
+    corpus = io.load_walks(out)
+    assert corpus == [
+        [int(g.ids[0]), int(g.ids[1]), int(g.ids[2])],
+        [int(g.ids[3]), int(g.ids[4])],
+    ]

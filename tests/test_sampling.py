@@ -1,0 +1,144 @@
+"""Sampler unit tests.
+
+The oracle cases mirror the reference's exact-pick expectations
+(RandomSampleTest.scala:10-93: inverse-CDF region picks for fixed uniforms; biased
+weight vectors for p=q=2; input weights not mutated). Device-sampler tests check the
+vectorized binary search and that both device samplers reproduce the exact node2vec
+transition distribution (the distribution-parity spec from SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stellar_rw_tpu.graph import csr, io
+from stellar_rw_tpu.ops import sampling
+from stellar_rw_tpu.walk import oracle
+
+
+# ---------- oracle: exact reference picks ----------
+
+def test_inverse_cdf_regions():
+    w = np.ones(3, dtype=np.float32)
+    assert oracle.inverse_cdf_pick(w, 0.1) == 0
+    assert oracle.inverse_cdf_pick(w, 0.4) == 1
+    assert oracle.inverse_cdf_pick(w, 0.7) == 2
+    assert oracle.inverse_cdf_pick(w, 1.0) == 2  # acc reaches 1.0 at the end
+    # fallback to head when u can never be reached is exercised via u > 1
+    assert oracle.inverse_cdf_pick(w, 1.5) == 0
+
+
+def test_second_order_weights_reference_cases():
+    # prev=1, N(prev)={2,4,5}, N(curr)=[1,3,4], unit weights
+    prev, prev_cols = 1, np.array([2, 4, 5])
+    curr_cols, curr_w = np.array([1, 3, 4]), np.ones(3, dtype=np.float32)
+    b = oracle.second_order_weights(1.0, 1.0, prev, prev_cols, curr_cols, curr_w)
+    np.testing.assert_allclose(b, [1.0, 1.0, 1.0])
+
+    # p=q=2, N(prev)={2,5}: dst1==prev -> 1/p, others not in N(prev) -> 1/q
+    b = oracle.second_order_weights(2.0, 2.0, prev, np.array([2, 5]), curr_cols, curr_w)
+    np.testing.assert_allclose(b, [0.5, 0.5, 0.5])
+
+    # p=q=2, N(prev)={2,4,5}: dst 4 in N(prev) -> w
+    b = oracle.second_order_weights(2.0, 2.0, prev, prev_cols, curr_cols, curr_w)
+    np.testing.assert_allclose(b, [0.5, 0.5, 1.0])
+    # exact region picks (RandomSampleTest rValues .24/.26/.51/.99)
+    for u, expect in [(0.24, 0), (0.26, 1), (0.51, 2), (0.99, 2)]:
+        assert oracle.second_order_pick(
+            2.0, 2.0, prev, prev_cols, curr_cols, curr_w, u) == expect
+    # input weights not mutated
+    np.testing.assert_allclose(curr_w, np.ones(3))
+
+
+def _tiny_graph():
+    # 1-2, 1-4, 1-5, 2-3, 2-4 undirected (the RandomSampleTest topology embedded
+    # in a real graph)
+    adj = {
+        1: [(2, 1.0), (4, 1.0), (5, 1.0)],
+        2: [(1, 1.0), (3, 1.0), (4, 1.0)],
+        3: [(2, 1.0)],
+        4: [(1, 1.0), (2, 1.0)],
+        5: [(1, 1.0)],
+    }
+    return csr.from_adjacency(adj)
+
+
+# ---------- device primitives ----------
+
+def test_in_row_membership():
+    g = _tiny_graph()
+    dg = sampling.device_put_graph(g)
+    n = sampling.search_iters(g.max_degree)
+    idx = {int(o): i for i, o in enumerate(g.ids)}
+    rows = jnp.array([idx[1], idx[1], idx[3], idx[2], idx[5]])
+    queries = jnp.array([idx[2], idx[3], idx[2], idx[2], idx[5]])
+    got = sampling.in_row(dg, rows, queries, n)
+    assert list(np.asarray(got)) == [True, False, True, False, False]
+    # broadcast form [W, K]
+    got2 = sampling.in_row(dg, rows[:, None], queries[None, :], n)
+    assert got2.shape == (5, 5)
+
+
+def test_alias_draw_distribution():
+    adj = {0: [(1, 1.0), (2, 3.0), (3, 6.0)], 1: [], 2: [], 3: []}
+    g = csr.from_adjacency(adj)
+    dg = sampling.device_put_graph(g)
+    M = 40000
+    key = jax.random.PRNGKey(0)
+    u = jax.random.uniform(key, (2, M))
+    dst = np.asarray(sampling.alias_draw(dg, jnp.zeros(M, jnp.int32), u[0], u[1]))
+    freq = np.bincount(dst, minlength=4)[1:] / M
+    np.testing.assert_allclose(freq, [0.1, 0.3, 0.6], atol=4 * np.sqrt(0.6 * 0.4 / M))
+
+
+@pytest.mark.parametrize("p,q", [(1.0, 1.0), (0.25, 0.25), (4.0, 0.5), (0.5, 2.0)])
+@pytest.mark.parametrize("sampler", ["cdf", "rejection"])
+def test_second_order_distribution_parity(p, q, sampler, karate_path):
+    """Both device samplers must reproduce the exact node2vec transition distribution
+    (reference spec: RandomSample.scala:27-44) from a fixed (prev, curr) state."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    dg = sampling.device_put_graph(g)
+    n = sampling.search_iters(g.max_degree)
+    idx = {int(o): i for i, o in enumerate(g.ids)}
+    prev, curr = idx[1], idx[2]
+    M = 30000
+    cur = jnp.full((M,), curr, jnp.int32)
+    prv = jnp.full((M,), prev, jnp.int32)
+    key = jax.random.PRNGKey(42)
+    if sampler == "cdf":
+        u = jax.random.uniform(key, (M,))
+        dst = sampling.cdf_sample_second_order(
+            dg, cur, prv, u, p, q, g.max_degree, n)
+    else:
+        dst = sampling.rejection_sample(
+            dg, cur, prv, jnp.ones(M, bool), key, p, q, n)
+    dst = np.asarray(dst)
+    expected = oracle.exact_transition_probs(g, prev, curr, p, q)
+    freq = np.bincount(dst, minlength=g.num_vertices) / M
+    for v, pr in expected.items():
+        se = np.sqrt(pr * (1 - pr) / M)
+        assert abs(freq[v] - pr) < max(5 * se, 1e-3), (v, freq[v], pr)
+    assert freq[[v for v in range(g.num_vertices) if v not in expected]].sum() == 0
+
+
+def test_weighted_second_order_distribution():
+    adj = {
+        0: [(1, 2.0), (2, 1.0)],
+        1: [(0, 2.0), (2, 5.0), (3, 1.0)],
+        2: [(0, 1.0), (1, 5.0)],
+        3: [(1, 1.0)],
+    }
+    g = csr.from_adjacency(adj)
+    dg = sampling.device_put_graph(g)
+    n = sampling.search_iters(g.max_degree)
+    M = 30000
+    p, q = 2.0, 0.5
+    key = jax.random.PRNGKey(7)
+    dst = np.asarray(sampling.rejection_sample(
+        dg, jnp.full((M,), 1, jnp.int32), jnp.full((M,), 0, jnp.int32),
+        jnp.ones(M, bool), key, p, q, n))
+    expected = oracle.exact_transition_probs(g, 0, 1, p, q)
+    freq = np.bincount(dst, minlength=4) / M
+    for v, pr in expected.items():
+        assert abs(freq[v] - pr) < 5 * np.sqrt(pr * (1 - pr) / M) + 1e-3
