@@ -1,0 +1,85 @@
+"""CLI entry point: the TPU-native `Main` (reference Main.scala:18-27,109-127).
+
+Same three subcommands dispatched on --cmd:
+  node2vec   : walks + skip-gram, writes /path, /vec, /bin
+  randomwalk : walks only, writes /path
+  embedding  : reads a walks file from --input, trains skip-gram, writes /vec, /bin
+
+Usage example (flag surface identical to the reference spark-submit app):
+  python -m stellar_rw_tpu --cmd node2vec --input graph.txt --output out \
+      --walkLength 80 --numWalks 10 --p 1.0 --q 1.0 --dim 128 --window 10
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+import numpy as np
+
+from .graph import io as gio
+from .models import node2vec as n2v
+from .utils.config import Params, TaskName, parse
+
+logger = logging.getLogger("stellar_rw_tpu")
+
+
+def _load_graph(params: Params):
+    if params.partitioned:
+        g, home = gio.load_edge_list_partitioned(
+            params.input, weighted=params.weighted, directed=params.directed,
+            partitioned=True, num_partitions=params.rdd_partitions, seed=params.seed)
+        return g
+    return gio.load_edge_list(
+        params.input, weighted=params.weighted, directed=params.directed)
+
+
+def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
+    """Load graph, run walks, save corpus (reference Main.doRandomWalk:53-62)."""
+    t0 = time.time()
+    graph = _load_graph(params)
+    # graph stats logging, the reference's V/E accumulators (UniformRandomWalk.scala:67-79)
+    logger.info("vertices: %d", graph.num_vertices)
+    logger.info("edges: %d", graph.num_edges)
+    print(f"vertices: {graph.num_vertices}")
+    print(f"edges: {graph.num_edges}")
+    walks = n2v.run_walks(graph, params)
+    dt = time.time() - t0
+    steps = int((walks >= 0).sum() - len(walks))
+    print(f"walks: {len(walks)} paths, {steps} steps in {dt:.2f}s "
+          f"({steps / max(dt, 1e-9):,.0f} steps/s)")
+    gio.save_walks(walks, graph, params.output, n2v.output_partitions(params))
+    return walks, graph
+
+
+def run_job(params: Params) -> str:
+    if params.cmd == TaskName.node2vec:
+        walks, graph = do_random_walk(params)
+        tokens, w_in, w_out = n2v.embed_walks(walks, graph, params)
+        n2v.save_model(params.output, tokens, w_in, w_out, params)
+        gio.save_vectors(np.asarray(tokens), w_in, params.output,
+                         n2v.output_partitions(params))
+    elif params.cmd == TaskName.randomwalk:
+        do_random_walk(params)
+    elif params.cmd == TaskName.embedding:
+        corpus = gio.load_walks(params.input)
+        tokens, w_in, w_out = n2v.embed_token_corpus(corpus, params)
+        n2v.save_model(params.output, tokens, w_in, w_out, params)
+        gio.save_vectors(np.asarray(tokens), w_in, params.output,
+                         n2v.output_partitions(params))
+    return params.output
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    params = parse(sys.argv[1:] if argv is None else argv)
+    if params is None:
+        return 1
+    print(params)
+    run_job(params)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,80 @@
+"""Embedding quality harness: link prediction and node classification.
+
+The reference has no in-repo eval; BASELINE.json makes quality parity (link-prediction /
+node-classification vs the Scala+MLlib embeddings) part of the spec, so this harness is
+a first-class component (SURVEY.md §7 milestone 3, hard-part #5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.where(n > 0, n, 1.0)
+
+
+def link_prediction_auc(
+    vectors: np.ndarray, edges: np.ndarray, num_vertices: int,
+    seed: int = 0, num_neg: int | None = None,
+) -> float:
+    """AUC of cosine-similarity scores: true edges vs random non-edges."""
+    rng = np.random.default_rng(seed)
+    vn = _normalize(vectors)
+    pos = np.einsum("ij,ij->i", vn[edges[:, 0]], vn[edges[:, 1]])
+    m = num_neg or len(edges)
+    edge_set = set(map(tuple, edges.tolist()))
+    negs = []
+    while len(negs) < m:
+        a = int(rng.integers(num_vertices))
+        b = int(rng.integers(num_vertices))
+        if a != b and (a, b) not in edge_set and (b, a) not in edge_set:
+            negs.append((a, b))
+    negs = np.asarray(negs)
+    neg = np.einsum("ij,ij->i", vn[negs[:, 0]], vn[negs[:, 1]])
+    # exact AUC by rank statistic
+    scores = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    n_pos, n_neg = len(pos), len(neg)
+    return float((ranks[labels == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def node_classification_accuracy(
+    vectors: np.ndarray, labels: np.ndarray,
+    train_frac: float = 0.5, seed: int = 0, epochs: int = 300, lr: float = 0.5,
+) -> float:
+    """Accuracy of a multinomial logistic probe on a random train/test split
+    (the standard node2vec downstream evaluation protocol)."""
+    rng = np.random.default_rng(seed)
+    V = len(labels)
+    perm = rng.permutation(V)
+    n_train = max(2, int(V * train_frac))
+    tr, te = perm[:n_train], perm[n_train:]
+    X = _normalize(vectors)
+    C = int(labels.max()) + 1
+    Wm = np.zeros((X.shape[1], C))
+    b = np.zeros(C)
+    Y = np.eye(C)[labels]
+    for _ in range(epochs):
+        z = X[tr] @ Wm + b
+        z -= z.max(axis=1, keepdims=True)
+        sm = np.exp(z)
+        sm /= sm.sum(axis=1, keepdims=True)
+        g = (sm - Y[tr]) / len(tr)
+        Wm -= lr * X[tr].T @ g
+        b -= lr * g.sum(axis=0)
+    pred = (X[te] @ Wm + b).argmax(axis=1)
+    return float((pred == labels[te]).mean())
+
+
+# Zachary karate-club faction labels (original ids 1..34): 1 = Mr. Hi's faction.
+# Public ground truth from Zachary (1977), as distributed with networkx.
+KARATE_MR_HI = {1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 17, 18, 20, 22}
+
+
+def karate_labels(original_ids: np.ndarray) -> np.ndarray:
+    return np.asarray([1 if int(i) in KARATE_MR_HI else 0 for i in original_ids])

@@ -1,0 +1,89 @@
+"""The node2vec pipeline: walks -> skip-gram embeddings.
+
+TPU-native equivalent of the reference's task wiring (reference Main.scala:109-127):
+`randomwalk` produces the corpus, `node2vec` additionally trains embeddings,
+`embedding` trains from a walks file. Model artifacts land in <output>/bin, vectors in
+<output>/vec, walks in <output>/path (reference Property.scala:5-7, Main.scala:36-44).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..graph.csr import CSRGraph
+from ..graph import io as gio
+from ..utils.config import MODEL_SUFFIX, Params
+from ..walk import engine
+from . import word2vec as w2v
+
+
+def run_walks(graph: CSRGraph, params: Params) -> np.ndarray:
+    return engine.random_walks(
+        graph,
+        walk_length=params.walk_length,
+        num_walks=params.num_walks,
+        p=params.p,
+        q=params.q,
+        seed=params.seed,
+        sampler=params.sampler,
+    )
+
+
+def sgns_config(params: Params) -> w2v.SGNSConfig:
+    return w2v.SGNSConfig(
+        dim=params.w2v_dim,
+        window=params.w2v_window,
+        negatives=params.w2v_negatives,
+        lr=params.w2v_lr,
+        iters=params.w2v_iter,
+        seed=params.seed,
+    )
+
+
+def save_model(output: str, tokens: list, w_in: np.ndarray, w_out: np.ndarray,
+               params: Params) -> str:
+    """Persist trainable state + metadata to <output>/bin (the reference saves the
+    MLlib model there, Main.scala:38)."""
+    out_dir = os.path.join(output, MODEL_SUFFIX)
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, "model.npz"),
+             w_in=w_in, w_out=w_out, tokens=np.asarray(tokens))
+    meta = {
+        "dim": params.w2v_dim, "window": params.w2v_window,
+        "negatives": params.w2v_negatives, "lr": params.w2v_lr,
+        "iters": params.w2v_iter, "vocab_size": len(tokens),
+    }
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+def load_model(output_or_bin: str):
+    d = output_or_bin
+    if os.path.isdir(os.path.join(d, MODEL_SUFFIX)):
+        d = os.path.join(d, MODEL_SUFFIX)
+    z = np.load(os.path.join(d, "model.npz"), allow_pickle=False)
+    return z["tokens"], z["w_in"], z["w_out"]
+
+
+def embed_walks(walks: np.ndarray, graph: CSRGraph, params: Params):
+    """Train SGNS directly on the dense walk corpus (vocab = graph vertices).
+    Returns (tokens = original ids, w_in, w_out)."""
+    w_in, w_out = w2v.train_skipgram(walks, graph.num_vertices, sgns_config(params))
+    return [int(i) for i in graph.ids], w_in, w_out
+
+
+def embed_token_corpus(token_lists, params: Params):
+    """Train SGNS from arbitrary token sequences (the `embedding` command re-reading
+    walks from disk, reference Main.scala:119-124)."""
+    corpus, vocab = w2v.corpus_from_token_lists(token_lists)
+    w_in, w_out = w2v.train_skipgram(corpus, len(vocab), sgns_config(params))
+    return vocab, w_in, w_out
+
+
+def output_partitions(params: Params) -> int:
+    """singleOutput -> 1 file else rddPartitions files (reference Main.scala:64-69)."""
+    return 1 if params.single_output else params.rdd_partitions

@@ -1,0 +1,208 @@
+"""Skip-gram word2vec with negative sampling (SGNS), TPU-native.
+
+Replaces the reference's delegation to Spark-MLlib Word2Vec (reference Main.scala:89-97,
+116,123: skip-gram + hierarchical softmax, minCount=0, lr/iter/dim/window from Params).
+Per BASELINE.json's north star, hierarchical softmax is swapped for negative sampling;
+the parity target is embedding *quality* (link prediction / node classification), not
+bit parity.
+
+Design (idiomatic XLA, SURVEY.md §7 milestone 3):
+  - the walk corpus is a dense [N, T] i32 buffer (-1 padded) living on device;
+  - pair generation is a static-shape enumeration: every (position, offset) cell of
+    [N, T, 2*window] is a potential pair, masked by sentence bounds, padding, and the
+    per-center dynamic window (word2vec's `b = rand % window` reduced-window rule,
+    which MLlib inherits from the C implementation);
+  - one jitted epoch = lax.scan over row blocks; each block generates its pairs,
+    draws negatives from a unigram^0.75 alias table, computes the classic SGNS
+    manual gradients, and applies them with scatter-adds; embeddings are donated so
+    updates stay in HBM;
+  - learning rate decays linearly over all epochs to lr/1e4, MLlib-style.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.alias import build_alias
+
+
+@dataclass(frozen=True)
+class SGNSConfig:
+    dim: int = 128
+    window: int = 10
+    negatives: int = 5
+    lr: float = 0.025
+    min_lr_frac: float = 1e-4
+    iters: int = 10
+    row_block: int = 32      # walks per scan step (one scatter-mean update each)
+    seed: int = 0
+    power: float = 0.75      # unigram smoothing for negative table
+
+
+def _init_embeddings(vocab: int, dim: int, key) -> tuple[jax.Array, jax.Array]:
+    """word2vec-style init: input uniform in [-0.5/dim, 0.5/dim), output zeros."""
+    w_in = (jax.random.uniform(key, (vocab, dim), jnp.float32) - 0.5) / dim
+    w_out = jnp.zeros((vocab, dim), jnp.float32)
+    return w_in, w_out
+
+
+def _pairs_for_block(block: jax.Array, key: jax.Array, window: int):
+    """Enumerate skip-gram pairs for a [B, T] block.
+
+    Returns (centers, contexts, valid) flattened to [B*T*2*window]. The dynamic
+    window per center position is c ~ Uniform{1..window}; a pair at offset d is valid
+    iff |d| <= c, both tokens in-bounds and not padding (-1).
+    """
+    B, T = block.shape
+    offs = jnp.concatenate(
+        [jnp.arange(-window, 0), jnp.arange(1, window + 1)]).astype(jnp.int32)  # [2w]
+    pos = jnp.arange(T, dtype=jnp.int32)
+    ctx_pos = pos[:, None] + offs[None, :]                      # [T, 2w]
+    in_bounds = (ctx_pos >= 0) & (ctx_pos < T)
+    ctx_pos_c = jnp.clip(ctx_pos, 0, T - 1)
+    centers = jnp.broadcast_to(block[:, :, None], (B, T, 2 * window))
+    contexts = block[:, ctx_pos_c]                              # [B, T, 2w]
+    cwin = jax.random.randint(key, (B, T), 1, window + 1)       # dynamic window
+    valid = (
+        in_bounds[None, :, :]
+        & (jnp.abs(offs)[None, None, :] <= cwin[:, :, None])
+        & (centers >= 0)
+        & (contexts >= 0)
+    )
+    flat = lambda x: x.reshape(-1)
+    return flat(centers), flat(contexts), flat(valid)
+
+
+def _draw_negatives(key, shape, neg_keep: jax.Array, neg_alias: jax.Array):
+    n = neg_keep.shape[0]
+    u1 = jax.random.uniform(key, shape)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 1), shape)
+    j = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
+    return jnp.where(u2 < neg_keep[j], j, neg_alias[j])
+
+
+def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr):
+    """One mini-batch of SGNS SGD with manual gradients and scatter-MEAN updates.
+
+    P pairs, k negatives: targets = [context | negs], labels = [1 | 0...]. Invalid
+    pairs are masked to zero gradient/count. Duplicate rows within a batch are
+    averaged, not summed: summed scatter explodes on small vocabularies where a hub
+    vertex collides thousands of times per batch (each row moves by ≈ one sequential
+    SGD step per batch, which is also closer to MLlib's per-sentence sequential
+    updates than a summed mega-batch would be).
+    """
+    P = centers.shape[0]
+    k = negs.shape[1]
+    c = jnp.where(valid, centers, 0)
+    targets = jnp.concatenate([jnp.where(valid, contexts, 0)[:, None], negs], axis=1)  # [P,1+k]
+    vi = w_in[c]                                   # [P, D]
+    vo = w_out[targets]                            # [P, 1+k, D]
+    logits = jnp.einsum("pd,pkd->pk", vi, vo)
+    labels = jnp.concatenate(
+        [jnp.ones((P, 1), jnp.float32), jnp.zeros((P, k), jnp.float32)], axis=1)
+    g = (jax.nn.sigmoid(logits) - labels) * valid[:, None]        # [P, 1+k]
+    d_vi = jnp.einsum("pk,pkd->pd", g, vo)
+    d_vo = (g[:, :, None] * vi[:, None, :]).reshape(-1, vi.shape[-1])  # [P*(1+k), D]
+    tflat = targets.reshape(-1)
+    vmask = jnp.broadcast_to(valid[:, None], (P, 1 + k)).reshape(-1).astype(jnp.float32)
+
+    acc_in = jnp.zeros_like(w_in).at[c].add(d_vi, mode="drop")
+    cnt_in = jnp.zeros((w_in.shape[0],), jnp.float32).at[c].add(
+        valid.astype(jnp.float32), mode="drop")
+    acc_out = jnp.zeros_like(w_out).at[tflat].add(d_vo, mode="drop")
+    cnt_out = jnp.zeros((w_out.shape[0],), jnp.float32).at[tflat].add(
+        vmask, mode="drop")
+    w_in = w_in - lr * acc_in / jnp.maximum(cnt_in, 1.0)[:, None]
+    w_out = w_out - lr * acc_out / jnp.maximum(cnt_out, 1.0)[:, None]
+    return w_in, w_out
+
+
+@partial(jax.jit, static_argnames=("window", "negatives"), donate_argnums=(0, 1))
+def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
+                 lr_start, lr_end, window: int, negatives: int):
+    """One epoch over the full corpus: scan over row blocks (corpus pre-padded to a
+    multiple of the block size with -1 rows)."""
+    n_blocks, B, T = corpus.shape
+
+    def body(carry, xs):
+        w_in, w_out = carry
+        block, i = xs
+        kb = jax.random.fold_in(key, i)
+        centers, contexts, valid = _pairs_for_block(block, kb, window)
+        negs = _draw_negatives(jax.random.fold_in(kb, 2),
+                               (centers.shape[0], negatives), neg_keep, neg_alias)
+        frac = i.astype(jnp.float32) / n_blocks
+        lr = lr_start * (1 - frac) + lr_end * frac
+        w_in, w_out = _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr)
+        return (w_in, w_out), None
+
+    (w_in, w_out), _ = jax.lax.scan(
+        body, (w_in, w_out), (corpus, jnp.arange(n_blocks)))
+    return w_in, w_out
+
+
+def train_skipgram(
+    corpus: np.ndarray,
+    vocab_size: int,
+    cfg: SGNSConfig,
+    counts: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train SGNS on a dense [N, T] i32 corpus (-1 padding). Returns (w_in, w_out)."""
+    N, T = corpus.shape
+    if counts is None:
+        flat = corpus[corpus >= 0]
+        counts = np.bincount(flat, minlength=vocab_size).astype(np.float64)
+    neg_keep, neg_alias = build_alias(np.maximum(counts, 1e-12) ** cfg.power)
+
+    B = min(cfg.row_block, max(N, 1))
+    n_blocks = -(-N // B)
+    padded = np.full((n_blocks * B, T), -1, dtype=np.int32)
+    padded[:N] = corpus
+    corpus_dev = jnp.asarray(padded.reshape(n_blocks, B, T))
+    nk = jnp.asarray(neg_keep)
+    na = jnp.asarray(neg_alias)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    w_in, w_out = _init_embeddings(vocab_size, cfg.dim,
+                                   jax.random.fold_in(key, 0x1A17))
+    lr_lo = cfg.lr * cfg.min_lr_frac
+    for ep in range(cfg.iters):
+        lr_s = cfg.lr + (lr_lo - cfg.lr) * ep / max(cfg.iters, 1)
+        lr_e = cfg.lr + (lr_lo - cfg.lr) * (ep + 1) / max(cfg.iters, 1)
+        w_in, w_out = _train_epoch(
+            w_in, w_out, corpus_dev, nk, na, jax.random.fold_in(key, ep),
+            jnp.float32(lr_s), jnp.float32(lr_e), cfg.window, cfg.negatives)
+    return np.asarray(w_in), np.asarray(w_out)
+
+
+def sgns_loss(w_in, w_out, centers, contexts, negs) -> jax.Array:
+    """Mean SGNS loss (monitoring / the jittable forward step exposed to the driver)."""
+    vi = w_in[centers]
+    targets = jnp.concatenate([contexts[:, None], negs], axis=1)
+    vo = w_out[targets]
+    logits = jnp.einsum("pd,pkd->pk", vi, vo)
+    labels = jnp.concatenate(
+        [jnp.ones_like(logits[:, :1]), jnp.zeros_like(logits[:, 1:])], axis=1)
+    return jnp.mean(
+        -labels * jax.nn.log_sigmoid(logits) - (1 - labels) * jax.nn.log_sigmoid(-logits))
+
+
+def corpus_from_token_lists(token_lists) -> tuple[np.ndarray, list]:
+    """Build (dense corpus, vocab tokens by desc frequency) from arbitrary token
+    sequences — the `--cmd embedding` path that re-reads walks from disk
+    (reference Main.scala:119-124); minCount=0, every token kept."""
+    from collections import Counter
+    cnt = Counter(t for row in token_lists for t in row)
+    vocab = [t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], str(kv[0])))]
+    index = {t: i for i, t in enumerate(vocab)}
+    T = max((len(r) for r in token_lists), default=0)
+    corpus = np.full((len(token_lists), T), -1, dtype=np.int32)
+    for i, row in enumerate(token_lists):
+        for j, t in enumerate(row):
+            corpus[i, j] = index[t]
+    return corpus, vocab

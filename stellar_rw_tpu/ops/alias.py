@@ -1,0 +1,33 @@
+"""Host-side Vose alias-table construction for a single discrete distribution.
+
+Used for the word2vec negative-sampling unigram table (counts^0.75) — the TPU-native
+replacement for hierarchical softmax in the reference's MLlib Word2Vec dependency
+(reference Main.scala:89-97; BASELINE.json swaps HS for negative sampling). Per-row
+CSR alias tables live in graph/csr.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_alias(probs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vose alias table: returns (keep_prob f32[n], alias i32[n]). Drawing: pick cell
+    j uniformly, keep j with prob keep_prob[j], else take alias[j]."""
+    n = len(probs)
+    p = np.asarray(probs, dtype=np.float64)
+    p = p / p.sum() * n
+    keep = np.ones(n, dtype=np.float32)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large[-1]
+        keep[s] = p[s]
+        alias[s] = l
+        p[l] -= 1.0 - p[s]
+        if p[l] < 1.0:
+            large.pop()
+            small.append(l)
+    return keep, alias

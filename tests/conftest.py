@@ -12,6 +12,15 @@ import os
 
 # Force CPU: the session env pins JAX_PLATFORMS to the (tunneled, slow-compile) TPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Drop the axon TPU-tunnel plugin from the import path: it hooks XLA compilation even
+# for the CPU backend (PALLAS_AXON_REMOTE_COMPILE) and routes every eager-op compile
+# through the tunnel, turning millisecond compiles into minutes.
+import sys  # noqa: E402
+
+sys.path = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ""
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )

@@ -1,0 +1,94 @@
+"""CLI / config / pipeline dispatch tests — covering what the reference suite never
+did (Main/CLI dispatch, save formats; SURVEY.md §4 "Not tested")."""
+
+import os
+
+import numpy as np
+
+from stellar_rw_tpu import cli
+from stellar_rw_tpu.models import node2vec as n2v
+from stellar_rw_tpu.utils import config
+
+
+def test_parse_defaults_and_required(karate_path):
+    p = config.parse(["--cmd", "node2vec", "--input", karate_path, "--output", "/tmp/o"])
+    assert p is not None
+    # defaults mirror reference Params.scala:7-23
+    assert (p.w2v_iter, p.w2v_lr, p.w2v_partitions, p.w2v_dim, p.w2v_window) == \
+        (10, 0.025, 1, 128, 10)
+    assert (p.walk_length, p.num_walks, p.p, p.q) == (80, 10, 1.0, 1.0)
+    assert p.weighted and not p.directed and p.single_output and not p.partitioned
+    assert p.rdd_partitions == 200
+    # missing required flags -> parse failure (None), like scopt
+    assert config.parse(["--cmd", "node2vec"]) is None
+    assert config.parse(["--cmd", "bogus", "--input", "x", "--output", "y"]) is None
+
+
+def test_parse_all_flags(karate_path):
+    p = config.parse([
+        "--cmd", "randomwalk", "--input", karate_path, "--output", "/tmp/o",
+        "--walkLength", "5", "--numWalks", "2", "--p", "0.25", "--q", "4.0",
+        "--rddPartitions", "8", "--weighted", "false", "--directed", "true",
+        "--singleOutput", "false", "--w2vPartitions", "2", "--partitioned", "true",
+        "--lr", "0.1", "--iter", "3", "--dim", "16", "--window", "4",
+    ])
+    assert p.walk_length == 5 and p.num_walks == 2 and p.p == 0.25 and p.q == 4.0
+    assert p.rdd_partitions == 8 and not p.weighted and p.directed
+    assert not p.single_output and p.w2v_partitions == 2 and p.partitioned
+    assert p.w2v_lr == 0.1 and p.w2v_iter == 3 and p.w2v_dim == 16 and p.w2v_window == 4
+
+
+def test_randomwalk_cmd(tmp_path, karate_path):
+    p = config.parse([
+        "--cmd", "randomwalk", "--input", karate_path, "--output", str(tmp_path),
+        "--walkLength", "5", "--numWalks", "2", "--weighted", "false",
+    ])
+    cli.run_job(p)
+    lines = open(tmp_path / "path" / "part-00000").read().splitlines()
+    assert len(lines) == 2 * 34  # numWalks * |V| (reference README.md:146)
+    for ln in lines:
+        assert 1 <= len(ln.split("\t")) <= 7
+
+
+def test_node2vec_cmd_and_model_roundtrip(tmp_path, karate_path):
+    p = config.parse([
+        "--cmd", "node2vec", "--input", karate_path, "--output", str(tmp_path),
+        "--walkLength", "5", "--numWalks", "2", "--weighted", "false",
+        "--dim", "8", "--iter", "2", "--window", "3",
+    ])
+    cli.run_job(p)
+    assert os.path.isdir(tmp_path / "path")
+    vec_lines = open(tmp_path / "vec" / "part-00000").read().splitlines()
+    assert len(vec_lines) == 34
+    assert all(len(l.split("\t")) == 9 for l in vec_lines)  # id + 8 dims
+    tokens, w_in, w_out = n2v.load_model(str(tmp_path))
+    assert w_in.shape == (34, 8) and w_out.shape == (34, 8)
+    assert sorted(int(t) for t in tokens) == list(range(1, 35))
+
+
+def test_embedding_cmd(tmp_path, karate_path):
+    # first produce walks, then retrain from the corpus on disk
+    p1 = config.parse([
+        "--cmd", "randomwalk", "--input", karate_path, "--output", str(tmp_path),
+        "--walkLength", "5", "--numWalks", "2", "--weighted", "false",
+    ])
+    cli.run_job(p1)
+    out2 = tmp_path / "stage2"
+    p2 = config.parse([
+        "--cmd", "embedding", "--input", str(tmp_path / "path"),
+        "--output", str(out2), "--dim", "8", "--iter", "2", "--window", "3",
+    ])
+    cli.run_job(p2)
+    vec_lines = open(out2 / "vec" / "part-00000").read().splitlines()
+    assert len(vec_lines) == 34
+
+
+def test_multi_file_output(tmp_path, karate_path):
+    p = config.parse([
+        "--cmd", "randomwalk", "--input", karate_path, "--output", str(tmp_path),
+        "--walkLength", "3", "--numWalks", "1", "--weighted", "false",
+        "--singleOutput", "false", "--rddPartitions", "4",
+    ])
+    cli.run_job(p)
+    files = sorted(os.listdir(tmp_path / "path"))
+    assert files == [f"part-{i:05d}" for i in range(4)]

@@ -1,0 +1,106 @@
+"""Skip-gram trainer quality + mechanics.
+
+The reference delegates to MLlib and never tests word2vec (SURVEY.md §4 "Not tested");
+BASELINE.json makes embedding quality the spec, so these tests train on karate walks
+and assert downstream quality (link-prediction AUC, faction classification)."""
+
+import numpy as np
+import pytest
+
+from stellar_rw_tpu.graph import io
+from stellar_rw_tpu.models import eval as ev
+from stellar_rw_tpu.models import word2vec as w2v
+from stellar_rw_tpu.walk import engine
+
+
+def test_pair_generation_masks():
+    import jax
+    block = np.array([[0, 1, 2, -1, -1]], dtype=np.int32)
+    c, x, v = w2v._pairs_for_block(jax.numpy.asarray(block), jax.random.PRNGKey(0), 2)
+    c, x, v = np.asarray(c), np.asarray(x), np.asarray(v)
+    # no valid pair may involve padding or out-of-bounds
+    assert np.all(c[v] >= 0) and np.all(x[v] >= 0)
+    # at offset distance 1 pairs (0,1),(1,0),(1,2),(2,1) must be present
+    # (dynamic window >= 1 always)
+    got = set(zip(c[v].tolist(), x[v].tolist()))
+    assert {(0, 1), (1, 0), (1, 2), (2, 1)} <= got
+    assert (0, -1) not in got
+
+
+def test_negative_table_distribution():
+    import jax
+    from stellar_rw_tpu.ops.alias import build_alias
+    counts = np.array([1.0, 10.0, 100.0])
+    keep, alias = build_alias(counts ** 0.75)
+    negs = w2v._draw_negatives(
+        jax.random.PRNGKey(0), (50000,), jax.numpy.asarray(keep),
+        jax.numpy.asarray(alias))
+    freq = np.bincount(np.asarray(negs), minlength=3) / 50000
+    expect = counts ** 0.75 / (counts ** 0.75).sum()
+    np.testing.assert_allclose(freq, expect, atol=0.01)
+
+
+@pytest.fixture(scope="module")
+def karate_embeddings(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = engine.random_walks(g, walk_length=20, num_walks=10, p=1.0, q=1.0, seed=2)
+    cfg = w2v.SGNSConfig(dim=32, window=5, negatives=5, lr=0.2, iters=20, seed=1)
+    w_in, w_out = w2v.train_skipgram(walks, g.num_vertices, cfg)
+    return g, w_in
+
+
+def test_loss_decreases(karate_path):
+    import jax
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = engine.random_walks(g, walk_length=10, num_walks=3, seed=0)
+    cfg = w2v.SGNSConfig(dim=16, window=4, negatives=4, lr=0.05, iters=1, seed=0)
+
+    def probe_loss(w_in, w_out):
+        key = jax.random.PRNGKey(9)
+        centers = jax.random.randint(key, (512,), 0, g.num_vertices)
+        # contexts = actual neighbors (positive pairs should score high after training)
+        ctx = []
+        for c in np.asarray(centers):
+            cols, _ = g.neighbors(int(c))
+            ctx.append(int(cols[0]) if len(cols) else int(c))
+        negs = jax.random.randint(jax.random.fold_in(key, 1), (512, 4), 0,
+                                  g.num_vertices)
+        return float(w2v.sgns_loss(
+            jax.numpy.asarray(w_in), jax.numpy.asarray(w_out), centers,
+            jax.numpy.asarray(np.asarray(ctx)), negs))
+
+    key = jax.random.PRNGKey(0)
+    w_in0, w_out0 = w2v._init_embeddings(g.num_vertices, 16, key)
+    loss0 = probe_loss(np.asarray(w_in0), np.asarray(w_out0))
+    cfg10 = w2v.SGNSConfig(dim=16, window=4, negatives=4, lr=0.05, iters=10, seed=0)
+    w_in, w_out = w2v.train_skipgram(walks, g.num_vertices, cfg10)
+    loss1 = probe_loss(w_in, w_out)
+    assert loss1 < loss0, (loss0, loss1)
+
+
+def test_karate_link_prediction(karate_embeddings):
+    g, w_in = karate_embeddings
+    edges = []
+    for v in range(g.num_vertices):
+        cols, _ = g.neighbors(v)
+        for d in cols:
+            if v < int(d):
+                edges.append((v, int(d)))
+    auc = ev.link_prediction_auc(w_in, np.asarray(edges), g.num_vertices, seed=0)
+    assert auc > 0.75, auc
+
+
+def test_karate_faction_classification(karate_embeddings):
+    g, w_in = karate_embeddings
+    labels = ev.karate_labels(g.ids)
+    acc = ev.node_classification_accuracy(w_in, labels, train_frac=0.5, seed=0)
+    assert acc >= 0.90, acc
+
+
+def test_token_corpus_roundtrip():
+    corpus, vocab = w2v.corpus_from_token_lists([["a", "b", "a"], ["b", "c"]])
+    assert vocab[0] in ("a", "b")  # both have count 2, order by token as tiebreak
+    assert corpus.shape == (2, 3)
+    assert corpus[1, 2] == -1
+    inv = {i: t for i, t in enumerate(vocab)}
+    assert [inv[int(i)] for i in corpus[0]] == ["a", "b", "a"]
