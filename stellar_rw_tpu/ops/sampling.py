@@ -98,11 +98,16 @@ def in_row(g: DeviceGraph, rows: jax.Array, queries: jax.Array, n_iters: int) ->
     return found
 
 
-def _bias(g: DeviceGraph, dst, prev, p: float, q: float, n_iters: int, dtype):
+def _bias(g: DeviceGraph, dst, prev_row, prev_id, p: float, q: float, n_iters: int, dtype):
     """node2vec bias f(dst) with the reference's precedence: dst==prev -> 1/p, else
-    membership in N(prev) -> 1, else 1/q (RandomSample.scala:36-39)."""
-    is_prev = dst == prev
-    member = in_row(g, prev, dst, n_iters)
+    membership in N(prev) -> 1, else 1/q (RandomSample.scala:36-39).
+
+    prev_row indexes the adjacency (a LOCAL row index on a graph shard); prev_id is
+    the vertex id dst values are compared against (GLOBAL dense id). On a single-chip
+    whole graph they coincide.
+    """
+    is_prev = dst == prev_id
+    member = in_row(g, prev_row, dst, n_iters)
     one = jnp.asarray(1.0, dtype)
     return jnp.where(is_prev, one / p, jnp.where(member, one, one / q))
 
@@ -138,12 +143,13 @@ def cdf_sample_first_order(g: DeviceGraph, cur: jax.Array, u: jax.Array,
     return jnp.take_along_axis(dsts, j[:, None], axis=1)[:, 0]
 
 
-def cdf_sample_second_order(g: DeviceGraph, cur: jax.Array, prev: jax.Array,
-                            u: jax.Array, p: float, q: float,
+def cdf_sample_second_order(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
+                            prev_id: jax.Array, u: jax.Array, p: float, q: float,
                             max_degree: int, n_iters: int, dtype=jnp.float32) -> jax.Array:
-    """Exact biased inverse-CDF draw (reference RandomSample.secondOrderSample)."""
-    dsts, w, valid = gather_padded_row(g, cur, max_degree)
-    f = _bias(g, dsts, prev[:, None], p, q, n_iters, dtype)
+    """Exact biased inverse-CDF draw (reference RandomSample.secondOrderSample).
+    cur_row/prev_row index rows of g (local on a shard); prev_id is the vertex id."""
+    dsts, w, valid = gather_padded_row(g, cur_row, max_degree)
+    f = _bias(g, dsts, prev_row[:, None], prev_id[:, None], p, q, n_iters, dtype)
     j = _cdf_pick(w.astype(dtype) * f, valid, u.astype(dtype))
     return jnp.take_along_axis(dsts, j[:, None], axis=1)[:, 0]
 
@@ -160,25 +166,47 @@ def alias_draw(g: DeviceGraph, rows: jax.Array, u_pos: jax.Array, u_keep: jax.Ar
     return g.cols[jnp.clip(s + pos, 0, max(E - 1, 0))]
 
 
-def rejection_sample(g: DeviceGraph, cur: jax.Array, prev: jax.Array, alive: jax.Array,
-                     key: jax.Array, p: float, q: float, n_iters: int,
-                     max_rounds: int = 64) -> jax.Array:
+def round_uniforms(step_key: jax.Array, n: int):
+    """Layout-independent per-round uniforms for the rejection sampler.
+
+    Returns a function r -> (u_pos, u_keep, u_acc), each 1-D [n]. Drawn as three
+    separate 1-D arrays (NOT one (3, n) array) because threefry's counter is row-major:
+    1-D draws have the prefix property u(n)[i] == u(m)[i] for i < min(n, m), which makes
+    single-chip and sharded/padded walker layouts bitwise identical.
+    """
+    def draw(r):
+        kr = jax.random.fold_in(step_key, r)
+        return tuple(
+            jax.random.uniform(jax.random.fold_in(kr, i), (n,)) for i in range(3))
+    return draw
+
+
+def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
+                     prev_id: jax.Array, alive: jax.Array,
+                     draw_uniforms, p: float, q: float, n_iters: int,
+                     max_rounds: int = 64, gather=None) -> jax.Array:
     """Second-order draw by alias candidate + bias acceptance.
 
     Exact node2vec distribution: candidate ∝ w, accept with prob f/max_f, so accepted
     ∝ w·f — the distribution the reference materializes explicitly
     (RandomSample.scala:27-44). Walkers not accepted after max_rounds keep their last
     candidate (probability (1-min_accept)^max_rounds, negligible for p,q in [1/4,4]).
+
+    draw_uniforms(r) yields the round-r uniforms (see round_uniforms); `gather` maps
+    each drawn 1-D array onto the walker batch (distributed shards pass a gid-gather so
+    every walker consumes the same stream regardless of which shard samples it).
     """
-    W = cur.shape[0]
     max_f = max(1.0 / p, 1.0, 1.0 / q)
-    dead_dst = jnp.zeros((W,), jnp.int32)
+    # derive from cur_row (not a fresh constant) so the carry keeps the same
+    # varying-manual-axes type as the loop outputs under shard_map
+    dead_dst = cur_row * 0
+    pick = gather if gather is not None else (lambda u: u)
 
     def draw(r):
-        u = jax.random.uniform(jax.random.fold_in(key, r), (3, W))
-        cand = alias_draw(g, cur, u[0], u[1])
-        f = _bias(g, cand, prev, p, q, n_iters, jnp.float32)
-        return cand, u[2] * max_f < f
+        u_pos, u_keep, u_acc = (pick(u) for u in draw_uniforms(r))
+        cand = alias_draw(g, cur_row, u_pos, u_keep)
+        f = _bias(g, cand, prev_row, prev_id, p, q, n_iters, jnp.float32)
+        return cand, u_acc * max_f < f
 
     def cond(carry):
         accepted, _, _, r = carry

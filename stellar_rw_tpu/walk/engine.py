@@ -50,11 +50,13 @@ def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
     if spec.sampler == "cdf":
         u = jax.random.uniform(step_key, cur.shape, dtype=dt)
         dst = sampling.cdf_sample_second_order(
-            g, cur, prev, u, spec.p, spec.q, spec.max_degree, spec.n_search_iters, dt)
+            g, cur, prev, prev, u, spec.p, spec.q, spec.max_degree,
+            spec.n_search_iters, dt)
     else:
         dst = sampling.rejection_sample(
-            g, cur, prev, alive, step_key, spec.p, spec.q,
-            spec.n_search_iters, spec.max_rounds)
+            g, cur, prev, prev, alive,
+            sampling.round_uniforms(step_key, cur.shape[0]),
+            spec.p, spec.q, spec.n_search_iters, spec.max_rounds)
     return dst
 
 
@@ -65,8 +67,8 @@ def first_step(g: DeviceGraph, spec: WalkSpec, starts, step_key):
         u = jax.random.uniform(step_key, starts.shape, dtype=dt)
         dst = sampling.cdf_sample_first_order(g, starts, u, spec.max_degree, dt)
     else:
-        u = jax.random.uniform(step_key, (2,) + starts.shape)
-        dst = sampling.alias_draw(g, starts, u[0], u[1])
+        u_pos, u_keep, _ = sampling.round_uniforms(step_key, starts.shape[0])(0)
+        dst = sampling.alias_draw(g, starts, u_pos, u_keep)
     return dst
 
 

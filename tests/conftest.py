@@ -6,32 +6,39 @@ JVM (UniformRandomWalkTest.scala:12-24,187); we force an 8-device virtual CPU me
 same way. x64 is enabled so exact-parity tests against the float64 NumPy oracle are
 numerically stable (the production TPU path runs float32; parity at f32 is validated
 distributionally).
+
+Environment gotcha: this image's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon (a single tunneled TPU whose compile path is minutes-slow). jax is
+therefore ALREADY imported when pytest loads this file — env vars are too late, so the
+platform must be re-pointed through jax.config before the backend initializes lazily.
 """
 
 import os
+import sys
 
-# Force CPU: the session env pins JAX_PLATFORMS to the (tunneled, slow-compile) TPU.
+import jax
+
+assert not jax._src.xla_bridge._backend_lock.locked()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+# Keep subprocesses (if any test spawns them) off the axon path too.
 os.environ["JAX_PLATFORMS"] = "cpu"
-
-# Drop the axon TPU-tunnel plugin from the import path: it hooks XLA compilation even
-# for the CPU backend (PALLAS_AXON_REMOTE_COMPILE) and routes every eager-op compile
-# through the tunnel, turning millisecond compiles into minutes.
-import sys  # noqa: E402
-
-sys.path = [p for p in sys.path if ".axon_site" not in p]
 os.environ["PYTHONPATH"] = ""
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-
-import jax  # noqa: E402
-
-jax.config.update("jax_enable_x64", True)
+sys.path = [p for p in sys.path if ".axon_site" not in p]
 
 import pytest  # noqa: E402
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _check_cpu_mesh():
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() == 8, jax.devices()
+    yield
 
 
 @pytest.fixture(scope="session")

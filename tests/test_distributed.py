@@ -1,0 +1,90 @@
+"""Multi-chip engine tests on the 8-device virtual CPU mesh (the same
+local-cluster-in-one-process technique the reference uses with local[*] + 8 RDD
+partitions, UniformRandomWalkTest.scala:12-24; SURVEY.md §4 implication (c))."""
+
+import jax
+import numpy as np
+import pytest
+
+from stellar_rw_tpu.graph import io, partition
+from stellar_rw_tpu.parallel import distributed
+from stellar_rw_tpu.walk import engine
+
+
+def test_partition_halo_invariant(karate_path):
+    """Every neighbor (either direction) of a shard's owned vertices has a local row
+    replica — the invariant that makes prev-membership tests shard-local."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    hsg = partition.partition_graph(g, 4)
+    for s in range(4):
+        owned = np.nonzero(hsg.route == s)[0]
+        for v in owned:
+            cols, _ = g.neighbors(int(v))
+            for u in cols:
+                assert hsg.glob2loc[s, int(u)] >= 0, (s, v, u)
+    # local rows replicate the global adjacency exactly
+    for s in range(hsg.num_shards):
+        for v in range(g.num_vertices):
+            loc = hsg.glob2loc[s, v]
+            if loc < 0:
+                continue
+            a, b = hsg.offsets[s, loc], hsg.offsets[s, loc + 1]
+            gc, gw = g.neighbors(v)
+            np.testing.assert_array_equal(hsg.cols[s, a:b], gc)
+            np.testing.assert_array_equal(hsg.weights[s, a:b], gw)
+    assert hsg.replication_factor >= 1.0
+
+
+def test_partition_respects_explicit_route(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    rng = np.random.default_rng(0)
+    route = rng.integers(0, 3, size=g.num_vertices).astype(np.int32)
+    hsg = partition.partition_graph(g, 3, route=route)
+    np.testing.assert_array_equal(hsg.route, route)
+    for s in range(3):
+        assert hsg.num_owned[s] == int((route == s).sum())
+
+
+@pytest.mark.parametrize("sampler", ["cdf", "rejection"])
+@pytest.mark.parametrize("directed", [False, True])
+def test_distributed_matches_single_chip(karate_path, sampler, directed):
+    """Bitwise parity: the sharded engine must produce the identical corpus to the
+    single-chip engine (counter-based per-walker streams make layout irrelevant)."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=directed)
+    kw = dict(walk_length=15, num_walks=2, p=0.5, q=2.0, seed=11, sampler=sampler)
+    if sampler == "cdf":
+        kw["dtype"] = "float64"
+    single = engine.random_walks(g, **kw)
+    multi = distributed.distributed_random_walks(g, num_shards=8, **kw)
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_distributed_vcut_route(karate_path):
+    """Explicit (VCut-style) vertex->shard routing produces the same corpus too —
+    routing changes placement, never the sampled walks."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    rng = np.random.default_rng(3)
+    route = rng.integers(0, 8, size=g.num_vertices).astype(np.int32)
+    kw = dict(walk_length=10, num_walks=1, p=1.0, q=1.0, seed=5, sampler="cdf",
+              dtype="float64")
+    single = engine.random_walks(g, **kw)
+    multi = distributed.distributed_random_walks(g, num_shards=8, route=route, **kw)
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_distributed_shard_count_invariance(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    kw = dict(walk_length=8, num_walks=1, seed=2, sampler="rejection")
+    w2 = distributed.distributed_random_walks(g, num_shards=2, **kw)
+    w8 = distributed.distributed_random_walks(g, num_shards=8, **kw)
+    np.testing.assert_array_equal(w2, w8)
+
+
+def test_distributed_dead_ends(testgraph_path):
+    g = io.load_edge_list(testgraph_path, weighted=False, directed=True)
+    idx = {int(o): i for i, o in enumerate(g.ids)}
+    walks = distributed.distributed_random_walks(
+        g, walk_length=5, num_walks=1, seed=0, num_shards=2)
+    by_start = {int(r[0]): r for r in walks}
+    assert by_start[idx[1]][1] == idx[2] and np.all(by_start[idx[1]][2:] == -1)
+    assert np.all(by_start[idx[2]][1:] == -1)

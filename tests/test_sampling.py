@@ -109,10 +109,11 @@ def test_second_order_distribution_parity(p, q, sampler, karate_path):
     if sampler == "cdf":
         u = jax.random.uniform(key, (M,))
         dst = sampling.cdf_sample_second_order(
-            dg, cur, prv, u, p, q, g.max_degree, n)
+            dg, cur, prv, prv, u, p, q, g.max_degree, n)
     else:
         dst = sampling.rejection_sample(
-            dg, cur, prv, jnp.ones(M, bool), key, p, q, n)
+            dg, cur, prv, prv, jnp.ones(M, bool),
+            sampling.round_uniforms(key, M), p, q, n)
     dst = np.asarray(dst)
     expected = oracle.exact_transition_probs(g, prev, curr, p, q)
     freq = np.bincount(dst, minlength=g.num_vertices) / M
@@ -137,7 +138,8 @@ def test_weighted_second_order_distribution():
     key = jax.random.PRNGKey(7)
     dst = np.asarray(sampling.rejection_sample(
         dg, jnp.full((M,), 1, jnp.int32), jnp.full((M,), 0, jnp.int32),
-        jnp.ones(M, bool), key, p, q, n))
+        jnp.full((M,), 0, jnp.int32), jnp.ones(M, bool),
+        sampling.round_uniforms(key, M), p, q, n))
     expected = oracle.exact_transition_probs(g, 0, 1, p, q)
     freq = np.bincount(dst, minlength=4) / M
     for v, pr in expected.items():
