@@ -19,6 +19,9 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+HASH_MAX_PROBES = 4
+HASH_MULT = np.uint32(2654435761)  # Knuth multiplicative hash
+
 
 @dataclass
 class CSRGraph:
@@ -36,6 +39,12 @@ class CSRGraph:
     # keep-probability and in-row alias position. Built lazily by build_alias_tables().
     alias_prob: np.ndarray | None = field(default=None, repr=False)
     alias_pos: np.ndarray | None = field(default=None, repr=False)
+    # Per-vertex open-addressing membership tables (built by build_hash_tables):
+    # the device-side prev-membership test probes <= HASH_MAX_PROBES slots instead of
+    # a log2(max_degree)-deep binary search.
+    hash_offsets: np.ndarray | None = field(default=None, repr=False)
+    hash_mask: np.ndarray | None = field(default=None, repr=False)
+    hash_table: np.ndarray | None = field(default=None, repr=False)
 
     @property
     def num_vertices(self) -> int:
@@ -107,6 +116,59 @@ class CSRGraph:
         self.alias_prob = prob
         self.alias_pos = (alias - np.repeat(self.offsets[:-1], deg)).astype(np.int32) \
             if E else alias.astype(np.int32)
+
+    def build_hash_tables(self, max_probes: int = HASH_MAX_PROBES) -> None:
+        """Per-vertex open-addressing neighbor-set tables, concatenated flat.
+
+        Replaces the reference's O(deg) linear `exists` membership scan
+        (RandomSample.scala:38) with <= max_probes random accesses on device —
+        cheaper than binary search on TPU, where each probe is a full-width gather."""
+        if self.hash_table is not None:
+            return
+        V = self.num_vertices
+        tables = []
+        hoff = np.zeros(V + 1, dtype=np.int64)
+        hmask = np.zeros(V, dtype=np.int32)
+        for v in range(V):
+            s, e = int(self.offsets[v]), int(self.offsets[v + 1])
+            t = _build_vertex_hash(self.cols[s:e], max_probes) if e > s \
+                else np.full(8, -1, dtype=np.int32)
+            tables.append(t)
+            hmask[v] = len(t) - 1
+            hoff[v + 1] = hoff[v] + len(t)
+        self.hash_offsets = hoff
+        self.hash_mask = hmask
+        self.hash_table = (np.concatenate(tables) if tables
+                           else np.full(8, -1, dtype=np.int32))
+
+
+def _build_vertex_hash(keys: np.ndarray, max_probes: int) -> np.ndarray:
+    """Open-addressing table (power-of-two size, linear probing) for one vertex's
+    neighbor set; grows until every key lands within max_probes probes."""
+    keys = np.unique(keys).astype(np.int64)
+    size = 8
+    need = max(1, len(keys))
+    while size < 2 * need:
+        size *= 2
+    while True:
+        table = np.full(size, -1, dtype=np.int32)
+        mask = size - 1
+        ok = True
+        h0 = ((keys.astype(np.uint64) * np.uint64(HASH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.int64) & mask
+        for k, h in zip(keys, h0):
+            placed = False
+            for i in range(max_probes):
+                s = (h + i) & mask
+                if table[s] == -1:
+                    table[s] = k
+                    placed = True
+                    break
+            if not placed:
+                ok = False
+                break
+        if ok:
+            return table
+        size *= 2
 
 
 def from_adjacency(adj: dict[int, list[tuple[int, float]]]) -> CSRGraph:

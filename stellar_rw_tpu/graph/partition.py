@@ -40,6 +40,9 @@ class ShardedGraphHost:
     weights: np.ndarray      # f32[S, E_max]
     alias_prob: np.ndarray   # f32[S, E_max]
     alias_pos: np.ndarray    # i32[S, E_max]
+    hash_offsets: np.ndarray  # i64[S, R_max] per-local-row membership-table base
+    hash_mask: np.ndarray     # i32[S, R_max]
+    hash_table: np.ndarray    # i32[S, H_max]
     glob2loc: np.ndarray     # i32[S, V]
     num_owned: np.ndarray    # i32[S]
     num_local: np.ndarray    # i32[S] (owned + halo)
@@ -54,6 +57,7 @@ class ShardedGraphHost:
 def partition_graph(graph: CSRGraph, num_shards: int,
                     route: np.ndarray | None = None) -> ShardedGraphHost:
     graph.build_alias_tables()
+    graph.build_hash_tables()
     V = graph.num_vertices
     S = num_shards
     if route is None:
@@ -89,12 +93,17 @@ def partition_graph(graph: CSRGraph, num_shards: int,
 
     R_max = max((len(r) for r in rows_per_shard), default=1) or 1
     E_max = max((int(deg[r].sum()) for r in rows_per_shard), default=1) or 1
+    hsizes = (graph.hash_offsets[1:] - graph.hash_offsets[:-1]).astype(np.int64)
+    H_max = max((int(hsizes[r].sum()) for r in rows_per_shard), default=8) or 8
 
     offsets = np.zeros((S, R_max + 1), dtype=np.int64)
     cols = np.zeros((S, E_max), dtype=np.int32)
     weights = np.zeros((S, E_max), dtype=np.float32)
     aprob = np.ones((S, E_max), dtype=np.float32)
     apos = np.zeros((S, E_max), dtype=np.int32)
+    hoff = np.zeros((S, R_max), dtype=np.int64)
+    hmask = np.zeros((S, R_max), dtype=np.int32)
+    htab = np.full((S, H_max), -1, dtype=np.int32)
     glob2loc = np.full((S, V), -1, dtype=np.int32)
     num_owned = np.zeros(S, dtype=np.int32)
     num_local = np.zeros(S, dtype=np.int32)
@@ -104,6 +113,7 @@ def partition_graph(graph: CSRGraph, num_shards: int,
         num_local[s] = len(rows)
         glob2loc[s, rows] = np.arange(len(rows), dtype=np.int32)
         e = 0
+        he = 0
         for i, v in enumerate(rows):
             a, b = int(graph.offsets[v]), int(graph.offsets[v + 1])
             n = b - a
@@ -113,9 +123,15 @@ def partition_graph(graph: CSRGraph, num_shards: int,
             apos[s, e:e + n] = graph.alias_pos[a:b]
             offsets[s, i + 1] = offsets[s, i] + n
             e += n
+            ha, hb = int(graph.hash_offsets[v]), int(graph.hash_offsets[v + 1])
+            htab[s, he:he + (hb - ha)] = graph.hash_table[ha:hb]
+            hoff[s, i] = he
+            hmask[s, i] = graph.hash_mask[v]
+            he += hb - ha
         offsets[s, len(rows) + 1:] = offsets[s, len(rows)]
 
     return ShardedGraphHost(
         num_shards=S, route=route, offsets=offsets, cols=cols, weights=weights,
-        alias_prob=aprob, alias_pos=apos, glob2loc=glob2loc,
+        alias_prob=aprob, alias_pos=apos, hash_offsets=hoff, hash_mask=hmask,
+        hash_table=htab, glob2loc=glob2loc,
         num_owned=num_owned, num_local=num_local)

@@ -46,6 +46,9 @@ class DeviceGraph(NamedTuple):
     weights: jax.Array      # f32[E]
     alias_prob: jax.Array   # f32[E]
     alias_pos: jax.Array    # i32[E] (in-row alias position)
+    hash_offsets: jax.Array  # i32[V] base of each vertex's membership table
+    hash_mask: jax.Array     # i32[V] table size - 1 (power of two)
+    hash_table: jax.Array    # i32[H] neighbor ids, -1 = empty
 
     @property
     def num_vertices(self) -> int:
@@ -59,6 +62,7 @@ class DeviceGraph(NamedTuple):
 def device_put_graph(graph, device=None) -> DeviceGraph:
     """Upload a host CSRGraph (graph/csr.py) to device HBM."""
     graph.build_alias_tables()
+    graph.build_hash_tables()
     put = lambda x, dt: jax.device_put(jnp.asarray(x, dtype=dt), device)
     return DeviceGraph(
         offsets=put(graph.offsets, jnp.int32),
@@ -66,6 +70,9 @@ def device_put_graph(graph, device=None) -> DeviceGraph:
         weights=put(graph.weights, jnp.float32),
         alias_prob=put(graph.alias_prob, jnp.float32),
         alias_pos=put(graph.alias_pos, jnp.int32),
+        hash_offsets=put(graph.hash_offsets[:-1], jnp.int32),
+        hash_mask=put(graph.hash_mask, jnp.int32),
+        hash_table=put(graph.hash_table, jnp.int32),
     )
 
 
@@ -98,7 +105,27 @@ def in_row(g: DeviceGraph, rows: jax.Array, queries: jax.Array, n_iters: int) ->
     return found
 
 
-def _bias(g: DeviceGraph, dst, prev_row, prev_id, p: float, q: float, n_iters: int, dtype):
+HASH_MULT = jnp.uint32(2654435761)  # Knuth multiplicative hash (matches csr.HASH_MULT)
+HASH_PROBES = 4                      # matches csr.HASH_MAX_PROBES (build-time guarantee)
+
+
+def in_row_hash(g: DeviceGraph, rows: jax.Array, queries: jax.Array) -> jax.Array:
+    """Exact membership via the per-vertex open-addressing tables: HASH_PROBES
+    slot reads instead of a log2(max_degree)-deep binary search. rows/queries
+    broadcast together."""
+    base = g.hash_offsets[rows]
+    mask = g.hash_mask[rows]
+    h = (queries.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
+    found = None
+    for i in range(HASH_PROBES):
+        slot = (h + i) & mask
+        val = g.hash_table[base + slot]
+        hit = val == queries
+        found = hit if found is None else (found | hit)
+    return found
+
+
+def _bias(g: DeviceGraph, dst, prev_row, prev_id, p: float, q: float, dtype):
     """node2vec bias f(dst) with the reference's precedence: dst==prev -> 1/p, else
     membership in N(prev) -> 1, else 1/q (RandomSample.scala:36-39).
 
@@ -107,7 +134,7 @@ def _bias(g: DeviceGraph, dst, prev_row, prev_id, p: float, q: float, n_iters: i
     whole graph they coincide.
     """
     is_prev = dst == prev_id
-    member = in_row(g, prev_row, dst, n_iters)
+    member = in_row_hash(g, prev_row, dst)
     one = jnp.asarray(1.0, dtype)
     return jnp.where(is_prev, one / p, jnp.where(member, one, one / q))
 
@@ -145,11 +172,12 @@ def cdf_sample_first_order(g: DeviceGraph, cur: jax.Array, u: jax.Array,
 
 def cdf_sample_second_order(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
                             prev_id: jax.Array, u: jax.Array, p: float, q: float,
-                            max_degree: int, n_iters: int, dtype=jnp.float32) -> jax.Array:
+                            max_degree: int, n_iters: int = 0, dtype=jnp.float32) -> jax.Array:
     """Exact biased inverse-CDF draw (reference RandomSample.secondOrderSample).
-    cur_row/prev_row index rows of g (local on a shard); prev_id is the vertex id."""
+    cur_row/prev_row index rows of g (local on a shard); prev_id is the vertex id.
+    (n_iters is retained for signature stability; membership now uses hash probes.)"""
     dsts, w, valid = gather_padded_row(g, cur_row, max_degree)
-    f = _bias(g, dsts, prev_row[:, None], prev_id[:, None], p, q, n_iters, dtype)
+    f = _bias(g, dsts, prev_row[:, None], prev_id[:, None], p, q, dtype)
     j = _cdf_pick(w.astype(dtype) * f, valid, u.astype(dtype))
     return jnp.take_along_axis(dsts, j[:, None], axis=1)[:, 0]
 
@@ -183,29 +211,35 @@ def round_uniforms(step_key: jax.Array, n: int):
 
 def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
                      prev_id: jax.Array, alive: jax.Array,
-                     draw_uniforms, p: float, q: float, n_iters: int,
-                     max_rounds: int = 64, gather=None) -> jax.Array:
+                     draw_uniforms, p: float, q: float, n_iters: int = 0,
+                     max_rounds: int = 16, gather=None, k_candidates: int = 4) -> jax.Array:
     """Second-order draw by alias candidate + bias acceptance.
 
     Exact node2vec distribution: candidate ∝ w, accept with prob f/max_f, so accepted
     ∝ w·f — the distribution the reference materializes explicitly
-    (RandomSample.scala:27-44). Walkers not accepted after max_rounds keep their last
-    candidate (probability (1-min_accept)^max_rounds, negligible for p,q in [1/4,4]).
+    (RandomSample.scala:27-44). Each while-loop round evaluates k_candidates
+    independent candidates per still-unaccepted walker and keeps the FIRST accepted
+    one (per-walker decisions stay elementwise -> still layout-independent); batching
+    cuts the sequential tail where one straggler walker keeps the whole chip looping.
+    Walkers not accepted after max_rounds·k_candidates trials keep their last
+    candidate (probability (1-min_accept)^(rounds·K), negligible for p,q in [1/4,4]).
 
-    draw_uniforms(r) yields the round-r uniforms (see round_uniforms); `gather` maps
-    each drawn 1-D array onto the walker batch (distributed shards pass a gid-gather so
-    every walker consumes the same stream regardless of which shard samples it).
+    draw_uniforms(j) yields the j-th uniform triple (see round_uniforms); `gather`
+    maps each drawn 1-D array onto the walker batch (distributed shards pass a
+    gid-gather so every walker consumes the same stream regardless of which shard
+    samples it). n_iters retained for signature stability.
     """
     max_f = max(1.0 / p, 1.0, 1.0 / q)
+    K = k_candidates
     # derive from cur_row (not a fresh constant) so the carry keeps the same
     # varying-manual-axes type as the loop outputs under shard_map
     dead_dst = cur_row * 0
     pick = gather if gather is not None else (lambda u: u)
 
-    def draw(r):
-        u_pos, u_keep, u_acc = (pick(u) for u in draw_uniforms(r))
+    def draw_one(j):
+        u_pos, u_keep, u_acc = (pick(u) for u in draw_uniforms(j))
         cand = alias_draw(g, cur_row, u_pos, u_keep)
-        f = _bias(g, cand, prev_row, prev_id, p, q, n_iters, jnp.float32)
+        f = _bias(g, cand, prev_row, prev_id, p, q, jnp.float32)
         return cand, u_acc * max_f < f
 
     def cond(carry):
@@ -214,10 +248,16 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
 
     def body(carry):
         accepted, dst, cand_last, r = carry
-        cand, acc = draw(r)
-        dst = jnp.where(~accepted & acc, cand, dst)
-        cand_last = jnp.where(~accepted, cand, cand_last)
-        return accepted | acc, dst, cand_last, r + 1
+        chosen = dead_dst
+        got = jnp.zeros_like(accepted) & False
+        for k in range(K):
+            cand, acc = draw_one(r * K + k)
+            take = acc & ~got
+            chosen = jnp.where(take, cand, chosen)
+            got = got | acc
+            cand_last = jnp.where(~accepted & ~got, cand, cand_last)
+        dst = jnp.where(~accepted & got, chosen, dst)
+        return accepted | got, dst, cand_last, r + 1
 
     init = (~alive, dead_dst, dead_dst, jnp.int32(0))
     accepted, dst, cand_last, _ = jax.lax.while_loop(cond, body, init)

@@ -107,7 +107,8 @@ def _exchange_and_sample(
         else:
             dst = sampling.rejection_sample(
                 g, cur_row, prev_row, fprev, can, draw, spec.p, spec.q,
-                spec.n_search_iters, spec.max_rounds, gather=gather)
+                spec.n_search_iters, spec.max_rounds, gather=gather,
+                k_candidates=spec.k_candidates)
     dst = jnp.where(can, dst, -1)
 
     # ---- reply: inverse all-to-all back into the sender's bucket layout ----
@@ -127,9 +128,11 @@ def distributed_walk_once(arrays, route, starts_pad, key, spec: WalkSpec,
     W_pad = starts_pad.shape[0]
     W_s = W_pad // S
 
-    def shard_fn(offsets, cols, weights, aprob, apos, glob2loc, route, starts_s):
+    def shard_fn(offsets, cols, weights, aprob, apos, hoff, hmask, htab,
+                 glob2loc, route, starts_s):
         g = DeviceGraph(offsets=offsets[0].astype(jnp.int32), cols=cols[0],
-                        weights=weights[0], alias_prob=aprob[0], alias_pos=apos[0])
+                        weights=weights[0], alias_prob=aprob[0], alias_pos=apos[0],
+                        hash_offsets=hoff[0], hash_mask=hmask[0], hash_table=htab[0])
         g2l = glob2loc[0]
         my = jax.lax.axis_index(AXIS).astype(jnp.int32)
         starts_l = starts_s
@@ -167,7 +170,8 @@ def distributed_walk_once(arrays, route, starts_pad, key, spec: WalkSpec,
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                  P(AXIS, None), P(AXIS, None), P(None), P(AXIS)),
+                  P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                  P(AXIS, None), P(None), P(AXIS)),
         out_specs=P(AXIS, None))
     return fn(*arrays, route, starts_pad)
 
@@ -183,6 +187,9 @@ def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
         put(hsg.weights, jnp.float32, shard),
         put(hsg.alias_prob, jnp.float32, shard),
         put(hsg.alias_pos, jnp.int32, shard),
+        put(hsg.hash_offsets, jnp.int32, shard),
+        put(hsg.hash_mask, jnp.int32, shard),
+        put(hsg.hash_table, jnp.int32, shard),
         put(hsg.glob2loc, jnp.int32, shard),
     )
     route = put(hsg.route, jnp.int32, repl)

@@ -40,7 +40,8 @@ class WalkSpec(NamedTuple):
     sampler: str = "rejection"   # "rejection" | "cdf"
     max_degree: int = 0          # static padded degree (cdf sampler)
     n_search_iters: int = 32     # binary-search iterations (>= log2(max_degree)+1)
-    max_rounds: int = 64         # rejection-sampler round cap
+    max_rounds: int = 16         # rejection-sampler round cap
+    k_candidates: int = 4        # candidates evaluated per rejection round
     dtype: str = "float32"       # CDF accumulation dtype ("float64" for oracle parity)
 
 
@@ -56,7 +57,8 @@ def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
         dst = sampling.rejection_sample(
             g, cur, prev, prev, alive,
             sampling.round_uniforms(step_key, cur.shape[0]),
-            spec.p, spec.q, spec.n_search_iters, spec.max_rounds)
+            spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
+            k_candidates=spec.k_candidates)
     return dst
 
 

@@ -144,3 +144,17 @@ def test_weighted_second_order_distribution():
     freq = np.bincount(dst, minlength=4) / M
     for v, pr in expected.items():
         assert abs(freq[v] - pr) < 5 * np.sqrt(pr * (1 - pr) / M) + 1e-3
+
+
+def test_in_row_hash_matches_binary_search(karate_path):
+    """The O(probes) hash membership must agree exactly with binary search over
+    sorted rows for every (row, query) pair."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    dg = sampling.device_put_graph(g)
+    n = sampling.search_iters(g.max_degree)
+    V = g.num_vertices
+    rows = jnp.arange(V, dtype=jnp.int32)[:, None]
+    queries = jnp.arange(V, dtype=jnp.int32)[None, :]
+    bs = np.asarray(sampling.in_row(dg, rows, queries, n))
+    hs = np.asarray(sampling.in_row_hash(dg, rows, queries))
+    np.testing.assert_array_equal(bs, hs)
