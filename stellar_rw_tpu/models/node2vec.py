@@ -72,7 +72,8 @@ def load_model(output_or_bin: str):
 def embed_walks(walks: np.ndarray, graph: CSRGraph, params: Params):
     """Train SGNS directly on the dense walk corpus (vocab = graph vertices).
     Returns (tokens = original ids, w_in, w_out)."""
-    w_in, w_out = w2v.train_skipgram(walks, graph.num_vertices, sgns_config(params))
+    w_in, w_out = w2v.train_skipgram(walks, graph.num_vertices, sgns_config(params),
+                                     num_partitions=params.w2v_partitions)
     return [int(i) for i in graph.ids], w_in, w_out
 
 
@@ -80,7 +81,8 @@ def embed_token_corpus(token_lists, params: Params):
     """Train SGNS from arbitrary token sequences (the `embedding` command re-reading
     walks from disk, reference Main.scala:119-124)."""
     corpus, vocab = w2v.corpus_from_token_lists(token_lists)
-    w_in, w_out = w2v.train_skipgram(corpus, len(vocab), sgns_config(params))
+    w_in, w_out = w2v.train_skipgram(corpus, len(vocab), sgns_config(params),
+                                     num_partitions=params.w2v_partitions)
     return vocab, w_in, w_out
 
 

@@ -86,7 +86,7 @@ def _draw_negatives(key, shape, neg_keep: jax.Array, neg_alias: jax.Array):
     return jnp.where(u2 < neg_keep[j], j, neg_alias[j])
 
 
-def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr):
+def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None):
     """One mini-batch of SGNS SGD with manual gradients and scatter-MEAN updates.
 
     P pairs, k negatives: targets = [context | negs], labels = [1 | 0...]. Invalid
@@ -117,14 +117,23 @@ def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr):
     acc_out = jnp.zeros_like(w_out).at[tflat].add(d_vo, mode="drop")
     cnt_out = jnp.zeros((w_out.shape[0],), jnp.float32).at[tflat].add(
         vmask, mode="drop")
+    if axis_name is not None:
+        # synchronous data parallelism: every device applies the identical merged
+        # update, so parameters stay replicated (equivalent to one device with a
+        # P-times-larger block — no per-epoch model averaging needed)
+        acc_in = jax.lax.psum(acc_in, axis_name)
+        cnt_in = jax.lax.psum(cnt_in, axis_name)
+        acc_out = jax.lax.psum(acc_out, axis_name)
+        cnt_out = jax.lax.psum(cnt_out, axis_name)
     w_in = w_in - lr * acc_in / jnp.maximum(cnt_in, 1.0)[:, None]
     w_out = w_out - lr * acc_out / jnp.maximum(cnt_out, 1.0)[:, None]
     return w_in, w_out
 
 
-@partial(jax.jit, static_argnames=("window", "negatives"), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("window", "negatives", "axis_name"),
+         donate_argnums=(0, 1))
 def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
-                 lr_start, lr_end, window: int, negatives: int):
+                 lr_start, lr_end, window: int, negatives: int, axis_name=None):
     """One epoch over the full corpus: scan over row blocks (corpus pre-padded to a
     multiple of the block size with -1 rows)."""
     n_blocks, B, T = corpus.shape
@@ -138,7 +147,8 @@ def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
                                (centers.shape[0], negatives), neg_keep, neg_alias)
         frac = i.astype(jnp.float32) / n_blocks
         lr = lr_start * (1 - frac) + lr_end * frac
-        w_in, w_out = _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr)
+        w_in, w_out = _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr,
+                                  axis_name=axis_name)
         return (w_in, w_out), None
 
     (w_in, w_out), _ = jax.lax.scan(
@@ -151,19 +161,31 @@ def train_skipgram(
     vocab_size: int,
     cfg: SGNSConfig,
     counts: np.ndarray | None = None,
+    num_partitions: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Train SGNS on a dense [N, T] i32 corpus (-1 padding). Returns (w_in, w_out)."""
+    """Train SGNS on a dense [N, T] i32 corpus (-1 padding). Returns (w_in, w_out).
+
+    num_partitions > 1 runs SYNCHRONOUS data-parallel training over that many
+    devices: per-block gradients are psum-merged so every replica applies the same
+    update. This is the TPU-native upgrade of the reference's `w2vPartitions`
+    (MLlib trains numPartitions shards and averages parameters per iteration,
+    Main.scala:93 — which measurably degrades embedding quality; synchronous
+    merging keeps quality at the single-partition level while scaling).
+    """
     N, T = corpus.shape
     if counts is None:
         flat = corpus[corpus >= 0]
         counts = np.bincount(flat, minlength=vocab_size).astype(np.float64)
     neg_keep, neg_alias = build_alias(np.maximum(counts, 1e-12) ** cfg.power)
 
-    B = min(cfg.row_block, max(N, 1))
-    n_blocks = -(-N // B)
-    padded = np.full((n_blocks * B, T), -1, dtype=np.int32)
+    P = max(1, num_partitions)
+    # per-device block shrinks with P so the GLOBAL rows-per-merged-update stays
+    # cfg.row_block: P-way training then takes the same number of (equivalent)
+    # update steps as single-device training, preserving quality
+    B = max(1, min(-(-cfg.row_block // P), max(-(-N // P), 1)))
+    n_blocks = -(-N // (B * P))
+    padded = np.full((P * n_blocks * B, T), -1, dtype=np.int32)
     padded[:N] = corpus
-    corpus_dev = jnp.asarray(padded.reshape(n_blocks, B, T))
     nk = jnp.asarray(neg_keep)
     na = jnp.asarray(neg_alias)
 
@@ -171,12 +193,42 @@ def train_skipgram(
     w_in, w_out = _init_embeddings(vocab_size, cfg.dim,
                                    jax.random.fold_in(key, 0x1A17))
     lr_lo = cfg.lr * cfg.min_lr_frac
+    if P == 1:
+        corpus_dev = jnp.asarray(padded.reshape(n_blocks, B, T))
+        epoch = lambda w_in, w_out, k, ls, le: _train_epoch(
+            w_in, w_out, corpus_dev, nk, na, k, ls, le, cfg.window, cfg.negatives)
+    else:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+        assert len(jax.devices()) >= P, \
+            f"w2vPartitions={P} needs {P} devices, have {len(jax.devices())}"
+        mesh = Mesh(np.array(jax.devices()[:P]), ("dp",))
+        # shard rows round-robin so every partition sees a similar slice of the corpus
+        corpus_dev = jax.device_put(
+            jnp.asarray(padded.reshape(P, n_blocks, B, T)),
+            NamedSharding(mesh, PS("dp")))
+
+        def dp_epoch(w_in, w_out, corpus_l, k, ls, le):
+            # params stay replicated (invariant): each block's gradients are
+            # psum-merged inside _sgns_apply before every replica applies the
+            # identical update
+            my = jax.lax.axis_index("dp")
+            return _train_epoch(
+                w_in, w_out, corpus_l[0], nk, na, jax.random.fold_in(k, my),
+                ls, le, cfg.window, cfg.negatives, axis_name="dp")
+
+        sm = jax.shard_map(
+            dp_epoch, mesh=mesh,
+            in_specs=(PS(), PS(), PS("dp"), PS(), PS(), PS()),
+            out_specs=(PS(), PS()))
+        epoch = lambda w_in, w_out, k, ls, le: sm(
+            w_in, w_out, corpus_dev, k, ls, le)
+
     for ep in range(cfg.iters):
         lr_s = cfg.lr + (lr_lo - cfg.lr) * ep / max(cfg.iters, 1)
         lr_e = cfg.lr + (lr_lo - cfg.lr) * (ep + 1) / max(cfg.iters, 1)
-        w_in, w_out = _train_epoch(
-            w_in, w_out, corpus_dev, nk, na, jax.random.fold_in(key, ep),
-            jnp.float32(lr_s), jnp.float32(lr_e), cfg.window, cfg.negatives)
+        w_in, w_out = epoch(w_in, w_out, jax.random.fold_in(key, ep),
+                            jnp.float32(lr_s), jnp.float32(lr_e))
     return np.asarray(w_in), np.asarray(w_out)
 
 

@@ -104,3 +104,18 @@ def test_token_corpus_roundtrip():
     assert corpus[1, 2] == -1
     inv = {i: t for i, t in enumerate(vocab)}
     assert [inv[int(i)] for i in corpus[0]] == ["a", "b", "a"]
+
+
+def test_data_parallel_training(karate_path):
+    """w2vPartitions semantics: data-parallel shards with per-epoch parameter merge
+    (reference Main.scala:93 / MLlib numPartitions). Quality must hold at P=4."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = engine.random_walks(g, walk_length=20, num_walks=10, seed=2)
+    cfg = w2v.SGNSConfig(dim=32, window=5, negatives=5, lr=0.2, iters=20, seed=1)
+    w_in, w_out = w2v.train_skipgram(walks, g.num_vertices, cfg, num_partitions=4)
+    assert w_in.shape == (g.num_vertices, 32)
+    edges = [(v, int(d)) for v in range(g.num_vertices)
+             for d in g.neighbors(v)[0] if v < int(d)]
+    auc = ev.link_prediction_auc(w_in, np.asarray(edges), g.num_vertices, seed=0)
+    acc = ev.node_classification_accuracy(w_in, ev.karate_labels(g.ids), seed=0)
+    assert auc > 0.7 and acc >= 0.85, (auc, acc)
