@@ -37,8 +37,22 @@ def _parse_weight(tok: str) -> float:
         return 1.0
 
 
-def load_edge_list(path: str, weighted: bool = True, directed: bool = False) -> CSRGraph:
-    """Uniform (hash-partitioned) load path — reference UniformRandomWalk.loadGraph."""
+def load_edge_list(path: str, weighted: bool = True, directed: bool = False,
+                   use_native: bool | None = None) -> CSRGraph:
+    """Uniform (hash-partitioned) load path — reference UniformRandomWalk.loadGraph.
+
+    use_native=None tries the C++ builder (bit-identical output, ~10-100x faster on
+    large inputs) and falls back to pure Python; True forces it, False skips it."""
+    if use_native is not False:
+        try:
+            from .. import native
+            g, _ = native.build_graph(path, weighted=weighted, directed=directed)
+            return g
+        except FileNotFoundError:
+            raise
+        except Exception:
+            if use_native:
+                raise
     adj: dict[int, list[tuple[int, float]]] = {}
     with open(path) as f:
         for line in f:
@@ -62,14 +76,28 @@ def load_edge_list_partitioned(
     partitioned: bool = False,
     num_partitions: int = 1,
     seed: int = 0,
+    use_native: bool | None = None,
 ) -> tuple[CSRGraph, np.ndarray]:
     """Vertex-cut load path — reference VCutRandomWalk.loadGraph.
 
     Returns (graph, home_partition i32[V]): home = partition id of the vertex's first
     edge record in file order (the deterministic analog of the reference's reduceByKey
     keeping one record's pId as the vertex home, VCutRandomWalk.scala:49,92-97).
-    Unpartitioned records draw a random pid (VCutRandomWalk.scala:23-26).
+    Unpartitioned records draw a random pid (VCutRandomWalk.scala:23-26; the native
+    and Python paths use different RNGs for that fallback, so only explicit partition
+    columns are bit-identical across the two loaders).
     """
+    if use_native is not False:
+        try:
+            from .. import native
+            return native.build_graph(path, weighted=weighted, directed=directed,
+                                      partitioned=partitioned,
+                                      num_partitions=num_partitions, seed=seed)
+        except FileNotFoundError:
+            raise
+        except Exception:
+            if use_native:
+                raise
     rng = np.random.default_rng(seed)
     adj: dict[int, list[tuple[int, float]]] = {}
     home: dict[int, int] = {}

@@ -1,0 +1,101 @@
+"""ctypes bindings for the native C++ graph builder.
+
+Builds the shared library on first use (g++ -O3, cached next to the source) and exposes
+`build_graph(path, ...)` returning a fully-populated CSRGraph (alias + hash tables
+included). Falls back cleanly when no compiler is available — callers should catch
+NativeUnavailable and use the pure-Python loaders in graph/io.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "graph_builder.cpp")
+_SO = os.path.join(_HERE, "libstellar_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build_so() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True, timeout=300)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired) as e:
+        detail = getattr(e, "stderr", "") or str(e)
+        raise NativeUnavailable(f"could not build native graph builder: {detail}")
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build_so()
+        lib = ctypes.CDLL(_SO)
+        lib.srw_build.restype = ctypes.c_void_p
+        lib.srw_build.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+        for fn in (lib.srw_num_vertices, lib.srw_num_edges, lib.srw_hash_size):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.srw_copy.restype = None
+        lib.srw_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def build_graph(path: str, weighted: bool = True, directed: bool = False,
+                partitioned: bool = False, num_partitions: int = 1, seed: int = 0):
+    """Parse an edge list natively -> (CSRGraph with alias+hash tables, home i32[V])."""
+    from ..graph.csr import CSRGraph
+
+    lib = _load()
+    h = lib.srw_build(path.encode(), int(weighted), int(directed),
+                      int(partitioned), int(num_partitions), seed)
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        V = lib.srw_num_vertices(h)
+        E = lib.srw_num_edges(h)
+        H = lib.srw_hash_size(h)
+        ids = np.empty(V, np.int64)
+        offsets = np.empty(V + 1, np.int64)
+        cols = np.empty(E, np.int32)
+        weights = np.empty(E, np.float32)
+        aprob = np.empty(E, np.float32)
+        apos = np.empty(E, np.int32)
+        hoff = np.empty(V + 1, np.int64)
+        hmask = np.empty(V, np.int32)
+        htab = np.empty(max(H, 1), np.int32)
+        home = np.empty(V, np.int32)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.srw_copy(ctypes.c_void_p(h), c(ids), c(offsets), c(cols), c(weights),
+                     c(aprob), c(apos), c(hoff), c(hmask), c(htab), c(home))
+    finally:
+        lib.srw_free(ctypes.c_void_p(h))
+    g = CSRGraph(offsets=offsets, cols=cols, weights=weights, ids=ids,
+                 alias_prob=aprob, alias_pos=apos,
+                 hash_offsets=hoff, hash_mask=hmask, hash_table=htab[:H])
+    return g, home
