@@ -46,9 +46,15 @@ def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
     print(f"edges: {graph.num_edges}")
     walks = n2v.run_walks(graph, params)
     dt = time.time() - t0
-    steps = int((walks >= 0).sum() - len(walks))
-    print(f"walks: {len(walks)} paths, {steps} steps in {dt:.2f}s "
-          f"({steps / max(dt, 1e-9):,.0f} steps/s)")
+    from .utils.stats import walk_stats
+    ws = walk_stats(walks)
+    print(f"walks: {ws.num_paths} paths, {ws.num_steps} steps in {dt:.2f}s "
+          f"({ws.num_steps / max(dt, 1e-9):,.0f} steps/s)")
+    # the reference's per-run diagnostics (Zero Neighbors dead-end counter,
+    # RandomWalk.scala:155-160); Wrong Transports cannot occur by construction
+    print(f"Zero Neighbors: {ws.dead_ends}  (isolated starts: {ws.isolated_starts}, "
+          f"full paths: {ws.full_paths}, mean length: {ws.mean_length:.1f})")
+    logger.info("walk stats: %s", ws.as_dict())
     gio.save_walks(walks, graph, params.output, n2v.output_partitions(params))
     return walks, graph
 

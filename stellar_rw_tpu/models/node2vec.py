@@ -69,11 +69,40 @@ def load_model(output_or_bin: str):
     return z["tokens"], z["w_in"], z["w_out"]
 
 
+def _checkpoint_path(output: str) -> str:
+    return os.path.join(output, MODEL_SUFFIX, "checkpoint.npz")
+
+
+def _train(corpus: np.ndarray, vocab_size: int, params: Params):
+    """Trainer with step-level checkpoint/resume (SURVEY.md §5.4: the reference only
+    has stage-level resume via the walks file; this adds epoch-grained checkpoints of
+    the trainer state, replayed deterministically thanks to counter-based keys)."""
+    init = None
+    start_epoch = 0
+    ckpt = _checkpoint_path(params.output) if params.output else None
+    if params.resume and ckpt and os.path.exists(ckpt):
+        z = np.load(ckpt)
+        init = (z["w_in"], z["w_out"])
+        start_epoch = int(z["epoch"]) + 1
+
+    on_epoch = None
+    if params.checkpoint_every and ckpt:
+        os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+
+        def on_epoch(ep, w_in, w_out):
+            if (ep + 1) % params.checkpoint_every == 0:
+                np.savez(ckpt, w_in=w_in, w_out=w_out, epoch=ep)
+
+    return w2v.train_skipgram(
+        corpus, vocab_size, sgns_config(params),
+        num_partitions=params.w2v_partitions,
+        init=init, start_epoch=start_epoch, on_epoch=on_epoch)
+
+
 def embed_walks(walks: np.ndarray, graph: CSRGraph, params: Params):
     """Train SGNS directly on the dense walk corpus (vocab = graph vertices).
     Returns (tokens = original ids, w_in, w_out)."""
-    w_in, w_out = w2v.train_skipgram(walks, graph.num_vertices, sgns_config(params),
-                                     num_partitions=params.w2v_partitions)
+    w_in, w_out = _train(walks, graph.num_vertices, params)
     return [int(i) for i in graph.ids], w_in, w_out
 
 
@@ -81,8 +110,7 @@ def embed_token_corpus(token_lists, params: Params):
     """Train SGNS from arbitrary token sequences (the `embedding` command re-reading
     walks from disk, reference Main.scala:119-124)."""
     corpus, vocab = w2v.corpus_from_token_lists(token_lists)
-    w_in, w_out = w2v.train_skipgram(corpus, len(vocab), sgns_config(params),
-                                     num_partitions=params.w2v_partitions)
+    w_in, w_out = _train(corpus, len(vocab), params)
     return vocab, w_in, w_out
 
 

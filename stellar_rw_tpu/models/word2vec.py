@@ -162,6 +162,9 @@ def train_skipgram(
     cfg: SGNSConfig,
     counts: np.ndarray | None = None,
     num_partitions: int = 1,
+    init: tuple[np.ndarray, np.ndarray] | None = None,
+    start_epoch: int = 0,
+    on_epoch=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train SGNS on a dense [N, T] i32 corpus (-1 padding). Returns (w_in, w_out).
 
@@ -190,8 +193,14 @@ def train_skipgram(
     na = jnp.asarray(neg_alias)
 
     key = jax.random.PRNGKey(cfg.seed)
-    w_in, w_out = _init_embeddings(vocab_size, cfg.dim,
-                                   jax.random.fold_in(key, 0x1A17))
+    if init is not None:
+        # resume from a checkpoint (same counter-based keys -> epochs start_epoch..
+        # iters replay exactly what an uninterrupted run would have done)
+        w_in = jnp.asarray(init[0], jnp.float32)
+        w_out = jnp.asarray(init[1], jnp.float32)
+    else:
+        w_in, w_out = _init_embeddings(vocab_size, cfg.dim,
+                                       jax.random.fold_in(key, 0x1A17))
     lr_lo = cfg.lr * cfg.min_lr_frac
     if P == 1:
         corpus_dev = jnp.asarray(padded.reshape(n_blocks, B, T))
@@ -224,11 +233,13 @@ def train_skipgram(
         epoch = lambda w_in, w_out, k, ls, le: sm(
             w_in, w_out, corpus_dev, k, ls, le)
 
-    for ep in range(cfg.iters):
+    for ep in range(start_epoch, cfg.iters):
         lr_s = cfg.lr + (lr_lo - cfg.lr) * ep / max(cfg.iters, 1)
         lr_e = cfg.lr + (lr_lo - cfg.lr) * (ep + 1) / max(cfg.iters, 1)
         w_in, w_out = epoch(w_in, w_out, jax.random.fold_in(key, ep),
                             jnp.float32(lr_s), jnp.float32(lr_e))
+        if on_epoch is not None:
+            on_epoch(ep, np.asarray(w_in), np.asarray(w_out))
     return np.asarray(w_in), np.asarray(w_out)
 
 

@@ -54,6 +54,8 @@ class Params:
     sampler: str = "rejection"  # "rejection" (alias+accept, prod) | "cdf" (exact inverse-CDF)
     w2v_negatives: int = 5
     w2v_batch: int = 8192
+    resume: bool = False          # resume skip-gram training from <output>/bin checkpoint
+    checkpoint_every: int = 0     # save a trainer checkpoint every N epochs (0 = off)
 
     def __str__(self) -> str:  # reference AbstractParams.scala:39-52 pretty-print
         d = dataclasses.asdict(self)
@@ -104,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="transition sampler: rejection (alias+accept) or cdf (exact inverse-CDF)")
     ap.add_argument("--negatives", type=int, default=d.w2v_negatives, help="negative samples per pair")
     ap.add_argument("--batch", type=int, default=d.w2v_batch, help="word2vec batch size (pairs)")
+    ap.add_argument("--resume", type=_bool, default=d.resume,
+                    help="resume word2vec training from the checkpoint in <output>/bin")
+    ap.add_argument("--checkpointEvery", type=int, default=d.checkpoint_every,
+                    help="save a trainer checkpoint every N epochs (0 = off)")
     return ap
 
 
@@ -121,6 +127,7 @@ def parse(argv: list[str]) -> Params | None:
         rdd_partitions=ns.rddPartitions, single_output=ns.singleOutput,
         partitioned=ns.partitioned, cmd=TaskName(ns.cmd), seed=ns.seed,
         sampler=ns.sampler, w2v_negatives=ns.negatives, w2v_batch=ns.batch,
+        resume=ns.resume, checkpoint_every=ns.checkpointEvery,
     )
 
 

@@ -1,0 +1,64 @@
+"""Walk/corpus diagnostics — the TPU build's analog of the reference's accumulators
+and per-superstep prints (SURVEY.md §5.1, §5.5).
+
+The reference tracks two error counters — "Wrong Transports" (walker landed on a
+partition that doesn't know its vertex) and "Zero Neighbors" (dead ends) — plus
+unfinished-walker counts per superstep (RandomWalk.scala:89-90,117,124,150-160) and
+per-executor replica/edge stats (UniformRandomWalk.scala:48-79). In this design:
+
+  - Wrong Transports cannot happen by construction (routing is a total function
+    route[v]; the owner always holds row(v)) — there is nothing to count.
+  - Zero Neighbors = walks shorter than walk_length+2 (dead-end masked), counted here.
+  - replica stats come from ShardedGraphHost.num_local / replication_factor.
+  - boundary traffic (the all-to-all volume the reference shuffles per superstep)
+    is computed from realized walks + the routing table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+import numpy as np
+
+
+@dataclass
+class WalkStats:
+    num_paths: int
+    num_steps: int             # sampled transitions (first-order + second-order)
+    full_paths: int            # reached walk_length + 2
+    dead_ends: int             # "Zero Neighbors": stopped early at a 0-degree vertex
+    isolated_starts: int       # length-1 paths (isolated source vertices)
+    mean_length: float
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+def walk_stats(walks: np.ndarray) -> WalkStats:
+    """Diagnostics over a dense [N, L+2] corpus (-1 padded)."""
+    lengths = (walks >= 0).sum(axis=1)
+    full = int(walks.shape[1])
+    return WalkStats(
+        num_paths=int(walks.shape[0]),
+        num_steps=int(lengths.sum() - len(lengths)),
+        full_paths=int((lengths == full).sum()),
+        dead_ends=int(((lengths < full) & (lengths > 1)).sum()),
+        isolated_starts=int((lengths == 1).sum()),
+        mean_length=float(lengths.mean()) if len(lengths) else 0.0,
+    )
+
+
+def boundary_traffic(walks: np.ndarray, route: np.ndarray) -> dict:
+    """Fraction / count of walk transitions that cross shard boundaries — the volume
+    the reference pays a Spark shuffle for per superstep (RandomWalk.scala:186-192)
+    and this framework pays an ICI all-to-all for."""
+    a = walks[:, :-1]
+    b = walks[:, 1:]
+    valid = (a >= 0) & (b >= 0)
+    cross = valid & (route[np.maximum(a, 0)] != route[np.maximum(b, 0)])
+    total = int(valid.sum())
+    return {
+        "transitions": total,
+        "boundary_crossings": int(cross.sum()),
+        "crossing_fraction": float(cross.sum() / total) if total else 0.0,
+    }

@@ -1,0 +1,64 @@
+"""Observability + checkpoint/resume subsystems."""
+
+import numpy as np
+
+from stellar_rw_tpu import cli
+from stellar_rw_tpu.graph import io, partition
+from stellar_rw_tpu.models import word2vec as w2v
+from stellar_rw_tpu.utils import config, stats
+from stellar_rw_tpu.walk import engine
+
+
+def test_walk_stats(testgraph_path):
+    g = io.load_edge_list(testgraph_path, weighted=False, directed=True)
+    walks = engine.random_walks(g, walk_length=5, num_walks=1, seed=0)
+    s = stats.walk_stats(walks)
+    assert s.num_paths == 2
+    assert s.dead_ends == 1           # 1 -> 2 stops ("Zero Neighbors" analog)
+    assert s.isolated_starts == 1     # vertex 2 has no out-edges
+    assert s.num_steps == 1
+
+
+def test_boundary_traffic(karate_path):
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = engine.random_walks(g, walk_length=10, num_walks=2, seed=1)
+    hsg = partition.partition_graph(g, 4)
+    t = stats.boundary_traffic(walks, hsg.route)
+    assert t["transitions"] == stats.walk_stats(walks).num_steps
+    assert 0 < t["boundary_crossings"] <= t["transitions"]
+    # single shard -> zero crossings
+    t1 = stats.boundary_traffic(walks, np.zeros(g.num_vertices, np.int32))
+    assert t1["boundary_crossings"] == 0
+
+
+def test_checkpoint_resume_exact(tmp_path, karate_path):
+    """Interrupt-and-resume must reproduce the uninterrupted run bitwise
+    (counter-based epoch keys)."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = engine.random_walks(g, walk_length=10, num_walks=2, seed=0)
+    cfg = w2v.SGNSConfig(dim=8, window=3, negatives=2, lr=0.1, iters=6, seed=3)
+    full_in, full_out = w2v.train_skipgram(walks, g.num_vertices, cfg)
+    # first 3 epochs, checkpoint, then resume for the rest
+    cfg3 = w2v.SGNSConfig(dim=8, window=3, negatives=2, lr=0.1, iters=6, seed=3)
+    saved = {}
+    def snap(ep, w_in, w_out):
+        if ep == 2:
+            saved["w"] = (w_in.copy(), w_out.copy())
+    w2v.train_skipgram(walks, g.num_vertices, cfg3, on_epoch=snap)
+    res_in, res_out = w2v.train_skipgram(
+        walks, g.num_vertices, cfg3, init=saved["w"], start_epoch=3)
+    np.testing.assert_array_equal(full_in, res_in)
+    np.testing.assert_array_equal(full_out, res_out)
+
+
+def test_cli_checkpoint_and_resume(tmp_path, karate_path):
+    argv = ["--cmd", "node2vec", "--input", karate_path, "--output", str(tmp_path),
+            "--walkLength", "5", "--numWalks", "2", "--weighted", "false",
+            "--dim", "8", "--iter", "4", "--window", "3", "--checkpointEvery", "2"]
+    cli.run_job(config.parse(argv))
+    ckpt = tmp_path / "bin" / "checkpoint.npz"
+    assert ckpt.exists()
+    z = np.load(ckpt)
+    assert int(z["epoch"]) == 3
+    # resume path runs without error and rewrites outputs
+    cli.run_job(config.parse(argv + ["--resume", "true"]))
