@@ -209,6 +209,22 @@ def round_uniforms(step_key: jax.Array, n: int):
     return draw
 
 
+def round_uniforms_batched(step_keys: jax.Array, n: int):
+    """Batched-rounds variant of round_uniforms: step_keys is a stacked [R, ...] key
+    array (one per walk round); draw(r) returns three 1-D [R*n] arrays where segment
+    r*n:(r+1)*n is bitwise identical to round_uniforms(step_keys[r], n)(r) — so a
+    corpus generated R-rounds-at-a-time matches R separate single-round calls exactly.
+    """
+    def draw(r):
+        def one(k):
+            kr = jax.random.fold_in(k, r)
+            return tuple(
+                jax.random.uniform(jax.random.fold_in(kr, i), (n,)) for i in range(3))
+        u = jax.vmap(one)(step_keys)
+        return tuple(x.reshape(-1) for x in u)
+    return draw
+
+
 def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
                      prev_id: jax.Array, alive: jax.Array,
                      draw_uniforms, p: float, q: float, n_iters: int = 0,

@@ -98,6 +98,66 @@ def walk_once(g: DeviceGraph, starts: jax.Array, key: jax.Array, spec: WalkSpec)
         [starts[:, None], first[:, None], cols.T.astype(jnp.int32)], axis=1)
 
 
+@partial(jax.jit, static_argnames=("spec", "num_walks"))
+def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
+                spec: WalkSpec, num_walks: int,
+                round_offset: jax.Array | int = 0) -> jax.Array:
+    """All `num_walks` rounds in ONE device dispatch -> [num_walks*W, L+2].
+
+    Bitwise identical to stacking num_walks calls of walk_once(g, starts,
+    fold_in(key, r), spec): every walker consumes the same counter-based uniform
+    stream (see round_uniforms_batched), but the device sees a num_walks-times
+    larger dense batch per step — amortizing per-step gather latency and fixed
+    kernel overhead that dominate small-graph rounds.
+    """
+    W = starts.shape[0]
+    R = num_walks
+    dt = jnp.dtype(spec.dtype)
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(round_offset + jnp.arange(R))
+
+    starts_b = jnp.tile(starts, R)
+    deg = g.offsets[1:] - g.offsets[:-1]
+    alive0 = deg[starts_b] > 0
+
+    def step_keys(t):
+        return jax.vmap(lambda k: jax.random.fold_in(k, t))(keys)
+
+    def uniforms_1d(t):
+        return jax.vmap(
+            lambda k: jax.random.uniform(k, (W,), dtype=dt))(step_keys(t)).reshape(-1)
+
+    if spec.sampler == "cdf":
+        dst0 = sampling.cdf_sample_first_order(
+            g, starts_b, uniforms_1d(0), spec.max_degree, dt)
+    else:
+        u_pos, u_keep, _ = sampling.round_uniforms_batched(step_keys(0), W)(0)
+        dst0 = sampling.alias_draw(g, starts_b, u_pos, u_keep)
+    first = jnp.where(alive0, dst0, -1)
+
+    def body(carry, t):
+        cur, prev, alive = carry
+        alive = alive & (deg[cur] > 0)
+        if spec.sampler == "cdf":
+            dst = sampling.cdf_sample_second_order(
+                g, cur, prev, prev, uniforms_1d(t), spec.p, spec.q,
+                spec.max_degree, spec.n_search_iters, dt)
+        else:
+            dst = sampling.rejection_sample(
+                g, cur, prev, prev, alive,
+                sampling.round_uniforms_batched(step_keys(t), W),
+                spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
+                k_candidates=spec.k_candidates)
+        out = jnp.where(alive, dst, -1)
+        new_cur = jnp.where(alive, dst, cur)
+        new_prev = jnp.where(alive, cur, prev)
+        return (new_cur, new_prev, alive), out
+
+    (_, _, _), cols = jax.lax.scan(
+        body, (first, starts_b, alive0), jnp.arange(1, spec.walk_length + 1))
+    return jnp.concatenate(
+        [starts_b[:, None], first[:, None], cols.T.astype(jnp.int32)], axis=1)
+
+
 def random_walks(
     graph: CSRGraph,
     walk_length: int,
@@ -109,10 +169,15 @@ def random_walks(
     dtype: str = "float32",
     starts: np.ndarray | None = None,
     device_graph: DeviceGraph | None = None,
+    max_batch_walkers: int = 2_000_000,
 ) -> np.ndarray:
     """Full corpus: num_walks rounds of one walk per vertex (reference
     RandomWalk.scala:82). Returns [num_walks * W, walk_length + 2] dense ids (-1 pad);
-    round r of walker w sits at row r*W + w."""
+    round r of walker w sits at row r*W + w.
+
+    Rounds are grouped into as few walk_corpus dispatches as fit max_batch_walkers
+    (whole rounds only — the uniform streams are indexed by in-round walker position,
+    so splitting a round would change which uniform a walker consumes)."""
     g = device_graph if device_graph is not None else sampling.device_put_graph(graph)
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
@@ -124,7 +189,12 @@ def random_walks(
     )
     starts_dev = jnp.asarray(starts, dtype=jnp.int32)
     base = jax.random.PRNGKey(seed)
+    W = len(starts)
+    per_batch = max(1, min(num_walks, max_batch_walkers // max(W, 1)))
     rounds = []
-    for r in range(num_walks):
-        rounds.append(walk_once(g, starts_dev, jax.random.fold_in(base, r), spec))
-    return np.asarray(jnp.concatenate(rounds, axis=0))
+    r = 0
+    while r < num_walks:
+        rb = min(per_batch, num_walks - r)
+        rounds.append(walk_corpus(g, starts_dev, base, spec, rb, jnp.int32(r)))
+        r += rb
+    return np.asarray(jnp.concatenate(rounds, axis=0) if len(rounds) > 1 else rounds[0])
