@@ -42,6 +42,7 @@ class SGNSConfig:
     row_block: int = 32      # walks per scan step (one scatter-mean update each)
     seed: int = 0
     power: float = 0.75      # unigram smoothing for negative table
+    shared_negatives: int = 0  # >0: kB block-shared negatives (MXU path, see below)
 
 
 def _init_embeddings(vocab: int, dim: int, key) -> tuple[jax.Array, jax.Array]:
@@ -111,29 +112,93 @@ def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None)
     tflat = targets.reshape(-1)
     vmask = jnp.broadcast_to(valid[:, None], (P, 1 + k)).reshape(-1).astype(jnp.float32)
 
-    acc_in = jnp.zeros_like(w_in).at[c].add(d_vi, mode="drop")
     cnt_in = jnp.zeros((w_in.shape[0],), jnp.float32).at[c].add(
         valid.astype(jnp.float32), mode="drop")
-    acc_out = jnp.zeros_like(w_out).at[tflat].add(d_vo, mode="drop")
     cnt_out = jnp.zeros((w_out.shape[0],), jnp.float32).at[tflat].add(
         vmask, mode="drop")
     if axis_name is not None:
         # synchronous data parallelism: every device applies the identical merged
         # update, so parameters stay replicated (equivalent to one device with a
         # P-times-larger block — no per-epoch model averaging needed)
+        acc_in = jnp.zeros_like(w_in).at[c].add(d_vi, mode="drop")
+        acc_out = jnp.zeros_like(w_out).at[tflat].add(d_vo, mode="drop")
         acc_in = jax.lax.psum(acc_in, axis_name)
         cnt_in = jax.lax.psum(cnt_in, axis_name)
         acc_out = jax.lax.psum(acc_out, axis_name)
         cnt_out = jax.lax.psum(cnt_out, axis_name)
-    w_in = w_in - lr * acc_in / jnp.maximum(cnt_in, 1.0)[:, None]
-    w_out = w_out - lr * acc_out / jnp.maximum(cnt_out, 1.0)[:, None]
+        w_in = w_in - lr * acc_in / jnp.maximum(cnt_in, 1.0)[:, None]
+        w_out = w_out - lr * acc_out / jnp.maximum(cnt_out, 1.0)[:, None]
+        return w_in, w_out
+    # single-replica: scatter the mean update straight into the tables — only the
+    # touched rows move, no [V, D] accumulator traffic (matters at LiveJournal-scale
+    # vocabularies where a full-table pass per block would dominate)
+    w_in = w_in.at[c].add(-lr * d_vi / jnp.maximum(cnt_in, 1.0)[c][:, None],
+                          mode="drop")
+    w_out = w_out.at[tflat].add(
+        -lr * d_vo / jnp.maximum(cnt_out, 1.0)[tflat][:, None], mode="drop")
     return w_in, w_out
 
 
-@partial(jax.jit, static_argnames=("window", "negatives", "axis_name"),
+def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
+                       neg_weight: float, axis_name=None):
+    """SGNS step with BLOCK-SHARED negatives — the MXU formulation.
+
+    Instead of k private negatives per pair (P·k embedding gathers + elementwise
+    dots), the whole block shares kB negative rows: the negative logits become one
+    [P, D] x [D, kB] matmul and the two negative gradients become matmuls too, so the
+    dominant FLOPs ride the systolic array instead of the VPU/gather path. Each
+    negative's gradient is weighted by neg_weight = k / kB, making the expected
+    gradient identical to per-pair sampling (negative-sample sharing, the standard
+    trick in batched word2vec implementations). Quality parity is asserted by the
+    same link-prediction/classification tests as the exact path.
+    """
+    P = centers.shape[0]
+    c = jnp.where(valid, centers, 0)
+    x = jnp.where(valid, contexts, 0)
+    vf = valid.astype(jnp.float32)
+    vi = w_in[c]                                   # [P, D]
+    vo = w_out[x]                                  # [P, D]
+    wn = w_out[negs]                               # [kB, D]
+    pos = jnp.sum(vi * vo, axis=-1)                # [P]
+    neg = jnp.dot(vi, wn.T, preferred_element_type=jnp.float32)  # [P, kB] (MXU)
+    g_pos = (jax.nn.sigmoid(pos) - 1.0) * vf                     # [P]
+    g_neg = jax.nn.sigmoid(neg) * (vf * neg_weight)[:, None]     # [P, kB]
+    d_vi = g_pos[:, None] * vo + jnp.dot(
+        g_neg, wn, preferred_element_type=jnp.float32)           # [P, D] (MXU)
+    d_vo = g_pos[:, None] * vi                                   # [P, D]
+    d_wn = jnp.dot(g_neg.T, vi, preferred_element_type=jnp.float32)  # [kB, D] (MXU)
+
+    cnt_in = jnp.zeros((w_in.shape[0],), jnp.float32).at[c].add(vf, mode="drop")
+    cnt_out = jnp.zeros((w_out.shape[0],), jnp.float32).at[x].add(vf, mode="drop")
+    # every valid pair touches every shared negative with weight neg_weight
+    cnt_n = jnp.maximum(jnp.sum(vf) * neg_weight, 1.0)
+    if axis_name is not None:
+        acc_in = jnp.zeros_like(w_in).at[c].add(d_vi, mode="drop")
+        acc_out = jnp.zeros_like(w_out).at[x].add(d_vo, mode="drop")
+        acc_out = acc_out.at[negs].add(
+            d_wn * (jnp.sum(vf) * neg_weight / cnt_n), mode="drop")
+        cnt_out = cnt_out.at[negs].add(cnt_n, mode="drop")
+        acc_in = jax.lax.psum(acc_in, axis_name)
+        cnt_in = jax.lax.psum(cnt_in, axis_name)
+        acc_out = jax.lax.psum(acc_out, axis_name)
+        cnt_out = jax.lax.psum(cnt_out, axis_name)
+        w_in = w_in - lr * acc_in / jnp.maximum(cnt_in, 1.0)[:, None]
+        w_out = w_out - lr * acc_out / jnp.maximum(cnt_out, 1.0)[:, None]
+        return w_in, w_out
+    w_in = w_in.at[c].add(-lr * d_vi / jnp.maximum(cnt_in, 1.0)[c][:, None],
+                          mode="drop")
+    w_out = w_out.at[x].add(-lr * d_vo / jnp.maximum(cnt_out, 1.0)[x][:, None],
+                            mode="drop")
+    w_out = w_out.at[negs].add(-lr * d_wn / cnt_n, mode="drop")
+    return w_in, w_out
+
+
+@partial(jax.jit,
+         static_argnames=("window", "negatives", "axis_name", "shared_negatives"),
          donate_argnums=(0, 1))
 def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
-                 lr_start, lr_end, window: int, negatives: int, axis_name=None):
+                 lr_start, lr_end, window: int, negatives: int, axis_name=None,
+                 shared_negatives: int = 0):
     """One epoch over the full corpus: scan over row blocks (corpus pre-padded to a
     multiple of the block size with -1 rows)."""
     n_blocks, B, T = corpus.shape
@@ -143,12 +208,19 @@ def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
         block, i = xs
         kb = jax.random.fold_in(key, i)
         centers, contexts, valid = _pairs_for_block(block, kb, window)
-        negs = _draw_negatives(jax.random.fold_in(kb, 2),
-                               (centers.shape[0], negatives), neg_keep, neg_alias)
         frac = i.astype(jnp.float32) / n_blocks
         lr = lr_start * (1 - frac) + lr_end * frac
-        w_in, w_out = _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr,
-                                  axis_name=axis_name)
+        if shared_negatives:
+            negs = _draw_negatives(jax.random.fold_in(kb, 2),
+                                   (shared_negatives,), neg_keep, neg_alias)
+            w_in, w_out = _sgns_apply_shared(
+                w_in, w_out, centers, contexts, valid, negs, lr,
+                neg_weight=negatives / shared_negatives, axis_name=axis_name)
+        else:
+            negs = _draw_negatives(jax.random.fold_in(kb, 2),
+                                   (centers.shape[0], negatives), neg_keep, neg_alias)
+            w_in, w_out = _sgns_apply(w_in, w_out, centers, contexts, valid, negs,
+                                      lr, axis_name=axis_name)
         return (w_in, w_out), None
 
     (w_in, w_out), _ = jax.lax.scan(
@@ -205,7 +277,8 @@ def train_skipgram(
     if P == 1:
         corpus_dev = jnp.asarray(padded.reshape(n_blocks, B, T))
         epoch = lambda w_in, w_out, k, ls, le: _train_epoch(
-            w_in, w_out, corpus_dev, nk, na, k, ls, le, cfg.window, cfg.negatives)
+            w_in, w_out, corpus_dev, nk, na, k, ls, le, cfg.window, cfg.negatives,
+            shared_negatives=cfg.shared_negatives)
     else:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
@@ -224,7 +297,8 @@ def train_skipgram(
             my = jax.lax.axis_index("dp")
             return _train_epoch(
                 w_in, w_out, corpus_l[0], nk, na, jax.random.fold_in(k, my),
-                ls, le, cfg.window, cfg.negatives, axis_name="dp")
+                ls, le, cfg.window, cfg.negatives, axis_name="dp",
+                shared_negatives=cfg.shared_negatives)
 
         sm = jax.shard_map(
             dp_epoch, mesh=mesh,

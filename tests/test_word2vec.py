@@ -106,6 +106,21 @@ def test_token_corpus_roundtrip():
     assert [inv[int(i)] for i in corpus[0]] == ["a", "b", "a"]
 
 
+def test_shared_negatives_training(karate_path):
+    """The MXU path (block-shared negatives, weighted k/kB) must reach the same
+    downstream quality as exact per-pair negative sampling."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = engine.random_walks(g, walk_length=20, num_walks=10, seed=2)
+    cfg = w2v.SGNSConfig(dim=32, window=5, negatives=5, lr=0.2, iters=20, seed=1,
+                         shared_negatives=32)
+    w_in, w_out = w2v.train_skipgram(walks, g.num_vertices, cfg)
+    edges = [(v, int(d)) for v in range(g.num_vertices)
+             for d in g.neighbors(v)[0] if v < int(d)]
+    auc = ev.link_prediction_auc(w_in, np.asarray(edges), g.num_vertices, seed=0)
+    acc = ev.node_classification_accuracy(w_in, ev.karate_labels(g.ids), seed=0)
+    assert auc > 0.7 and acc >= 0.85, (auc, acc)
+
+
 def test_data_parallel_training(karate_path):
     """w2vPartitions semantics: data-parallel shards with per-epoch parameter merge
     (reference Main.scala:93 / MLlib numPartitions). Quality must hold at P=4."""
