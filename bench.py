@@ -28,8 +28,9 @@ import numpy as np
 
 def synth_power_law_graph(num_vertices: int, num_edges: int, seed: int = 0):
     """Deterministic power-law-ish multigraph via preferential-attachment-style
-    sampling (degree skew similar to BlogCatalog's)."""
-    from stellar_rw_tpu.graph.csr import from_adjacency
+    sampling (degree skew similar to BlogCatalog's). Fully vectorized so
+    LiveJournal-scale graphs build in seconds."""
+    from stellar_rw_tpu.graph.csr import from_edge_arrays
 
     rng = np.random.default_rng(seed)
     # Zipf-weighted endpoints -> heavy-tailed degrees
@@ -39,12 +40,8 @@ def synth_power_law_graph(num_vertices: int, num_edges: int, seed: int = 0):
     src = rng.choice(num_vertices, size=num_edges, p=probs)
     dst = rng.choice(num_vertices, size=num_edges, p=probs)
     keep = src != dst
-    src, dst = src[keep], dst[keep]
-    adj: dict[int, list] = {v: [] for v in range(num_vertices)}
-    for a, b in zip(src.tolist(), dst.tolist()):
-        adj[a].append((b, 1.0))
-        adj[b].append((a, 1.0))
-    return from_adjacency(adj)
+    return from_edge_arrays(src[keep], dst[keep], num_vertices=num_vertices,
+                            symmetrize=True)
 
 
 def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
@@ -106,6 +103,11 @@ def _cpu_reference_steps_per_s() -> float:
 def main() -> None:
     graph = synth_power_law_graph(10_000, 334_000)
     tpu = measure_walk_throughput(graph)
+    # HBM-regime measurement: tables too large for VMEM staging (the
+    # LiveJournal-scale access pattern, BASELINE.json configs[3]) — 1M vertices,
+    # ~32M arcs, one walker per vertex.
+    big = synth_power_law_graph(1_000_000, 16_000_000, seed=1)
+    tpu_big = measure_walk_throughput(big, rounds=3)
     cpu_steps = _cpu_reference_steps_per_s()
     # 2-core host -> x8 approximates the 16-core Spark host; x10 = the target
     baseline = 10.0 * 8.0 * cpu_steps if cpu_steps == cpu_steps else None
@@ -118,6 +120,8 @@ def main() -> None:
             "workload": "synthetic BlogCatalog-shape 10K V / ~668K arcs, node2vec "
                         "p=q=0.25, L=80, rejection sampler",
             "compile_s": round(tpu["compile_s"], 1),
+            "hbm_scale_steps_per_s": round(tpu_big["steps_per_s"], 1),
+            "hbm_scale_workload": "1M V / ~32M arcs power-law, same walk config",
             "cpu_2core_steps_per_s": round(cpu_steps, 1) if cpu_steps == cpu_steps else None,
             "baseline_def": "10x (8x measured 2-core XLA-CPU engine) ~= 10x 16-core host",
         },

@@ -93,8 +93,19 @@ class CSRGraph:
             scaled = (self.weights.astype(np.float64) /
                       np.where(row_sum[row_of] > 0, row_sum[row_of], 1.0)) * deg[row_of]
 
+        # Uniform-weight rows (the common case: unweighted graphs) need no Vose at
+        # all — scaled == 1 everywhere, so keep-prob 1 / identity alias. Detect them
+        # vectorized and only run the per-row worklist on genuinely weighted rows.
+        nonuniform = np.zeros(self.num_vertices, dtype=bool)
+        if E:
+            same_as_prev = np.ones(E, dtype=bool)
+            same_as_prev[1:] = self.weights[1:] == self.weights[:-1]
+            same_as_prev[np.clip(self.offsets[:-1], 0, max(E - 1, 0))] = True
+            np.logical_or.at(nonuniform, row_of, ~same_as_prev)
+        # (alias is already the identity and prob already 1.0 for untouched rows)
+
         # Per-row Vose. Rows are independent; iterate rows grouped to keep it numpy-light.
-        for v in range(self.num_vertices):
+        for v in np.flatnonzero(nonuniform):
             s, e = int(self.offsets[v]), int(self.offsets[v + 1])
             if e - s <= 1:
                 continue
@@ -105,7 +116,7 @@ class CSRGraph:
                 sm = small.pop()
                 lg = large[-1]
                 prob[s + sm] = sc[sm]
-                alias[s + sm] = lg
+                alias[s + sm] = s + lg  # global index; converted to in-row below
                 sc[lg] -= 1.0 - sc[sm]
                 if sc[lg] < 1.0:
                     large.pop()
@@ -122,24 +133,71 @@ class CSRGraph:
 
         Replaces the reference's O(deg) linear `exists` membership scan
         (RandomSample.scala:38) with <= max_probes random accesses on device —
-        cheaper than binary search on TPU, where each probe is a full-width gather."""
+        cheaper than binary search on TPU, where each probe is a full-width gather.
+
+        Built fully vectorized (no per-vertex Python loop — required at
+        LiveJournal scale, millions of rows): all keys attempt probe slot i in a
+        global round; first-writer-wins per slot; rows with any key still unplaced
+        after max_probes rounds double their table and the layout is rebuilt (rare:
+        load factor <= 0.5). Any layout where every key sits within max_probes of
+        its hash is equally valid — device membership results are layout-independent.
+        """
         if self.hash_table is not None:
             return
         V = self.num_vertices
-        tables = []
-        hoff = np.zeros(V + 1, dtype=np.int64)
-        hmask = np.zeros(V, dtype=np.int32)
-        for v in range(V):
-            s, e = int(self.offsets[v]), int(self.offsets[v + 1])
-            t = _build_vertex_hash(self.cols[s:e], max_probes) if e > s \
-                else np.full(8, -1, dtype=np.int32)
-            tables.append(t)
-            hmask[v] = len(t) - 1
-            hoff[v + 1] = hoff[v] + len(t)
+        E = self.num_edges
+        if V == 0:
+            self.hash_offsets = np.zeros(1, dtype=np.int64)
+            self.hash_mask = np.zeros(0, dtype=np.int32)
+            self.hash_table = np.full(8, -1, dtype=np.int32)
+            return
+        deg = (self.offsets[1:] - self.offsets[:-1]).astype(np.int64)
+        # unique neighbors per row: rows are sorted, so duplicates are adjacent
+        if E:
+            first = np.ones(E, dtype=bool)
+            first[1:] = self.cols[1:] != self.cols[:-1]
+            first[np.clip(self.offsets[:-1], 0, E - 1)] = True
+            row_of = np.repeat(np.arange(V), deg)
+            keys = self.cols[first].astype(np.int64)
+            krow = row_of[first]
+            udeg = np.zeros(V, dtype=np.int64)
+            np.add.at(udeg, krow, 1)
+        else:
+            keys = np.zeros(0, dtype=np.int64)
+            krow = np.zeros(0, dtype=np.int64)
+            udeg = np.zeros(V, dtype=np.int64)
+        # size = 8, doubled while size < 2*need (need = max(unique_deg, 1))
+        need = np.maximum(udeg, 1)
+        sizes = 2 ** np.maximum(np.ceil(np.log2(2 * need)).astype(np.int64), 3)
+        h0 = ((keys.astype(np.uint64) * np.uint64(HASH_MULT))
+              & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        while True:
+            hoff = np.zeros(V + 1, dtype=np.int64)
+            np.cumsum(sizes, out=hoff[1:])
+            mask_k = (sizes - 1)[krow]
+            base_k = hoff[:-1][krow]
+            table = np.full(int(hoff[-1]), -1, dtype=np.int32)
+            placed = np.zeros(len(keys), dtype=bool)
+            for i in range(max_probes):
+                cand = np.flatnonzero(~placed)
+                if len(cand) == 0:
+                    break
+                slot = base_k[cand] + ((h0[cand] + i) & mask_k[cand])
+                free = table[slot] == -1
+                cand, slot = cand[free], slot[free]
+                order = np.argsort(slot, kind="stable")
+                slot_s, cand_s = slot[order], cand[order]
+                win = np.ones(len(slot_s), dtype=bool)
+                win[1:] = slot_s[1:] != slot_s[:-1]
+                table[slot_s[win]] = keys[cand_s[win]].astype(np.int32)
+                placed[cand_s[win]] = True
+            if placed.all():
+                break
+            bad_rows = np.unique(krow[~placed])
+            sizes[bad_rows] *= 2  # grow and rebuild (rare)
         self.hash_offsets = hoff
-        self.hash_mask = hmask
-        self.hash_table = (np.concatenate(tables) if tables
-                           else np.full(8, -1, dtype=np.int32))
+        self.hash_mask = (sizes - 1).astype(np.int32)
+        self.hash_table = table
 
 
 def _build_vertex_hash(keys: np.ndarray, max_probes: int) -> np.ndarray:
@@ -200,3 +258,35 @@ def from_adjacency(adj: dict[int, list[tuple[int, float]]]) -> CSRGraph:
         cols[s:s + len(row)] = dcols[order]
         weights[s:s + len(row)] = dw[order]
     return CSRGraph(offsets=offsets, cols=cols, weights=weights, ids=ids)
+
+
+def from_edge_arrays(src: np.ndarray, dst: np.ndarray,
+                     weights: np.ndarray | None = None,
+                     num_vertices: int | None = None,
+                     symmetrize: bool = False) -> CSRGraph:
+    """Vectorized CSR construction from dense-id arc arrays (no Python loops).
+
+    For large graphs (LiveJournal scale and beyond) where `from_adjacency`'s
+    per-row dict walk is prohibitive. Vertex ids must already be dense
+    [0, num_vertices); `ids` is the identity. `symmetrize=True` adds the reverse
+    arc for every input arc (undirected load semantics — the reference's
+    bidirectional insertion, UniformRandomWalk.scala:29-36). Multi-edges are
+    preserved; rows come out sorted by dst id as the samplers require.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if weights is None:
+        weights = np.ones(len(src), dtype=np.float32)
+    weights = np.asarray(weights, dtype=np.float32)
+    if symmetrize:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        weights = np.concatenate([weights, weights])
+    V = int(num_vertices if num_vertices is not None
+            else (max(src.max(initial=-1), dst.max(initial=-1)) + 1))
+    order = np.lexsort((dst, src))
+    src, dst, weights = src[order], dst[order], weights[order]
+    deg = np.bincount(src, minlength=V).astype(np.int64)
+    offsets = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(deg, out=offsets[1:])
+    return CSRGraph(offsets=offsets, cols=dst.astype(np.int32),
+                    weights=weights, ids=np.arange(V, dtype=np.int64))

@@ -307,11 +307,17 @@ def train_skipgram(
         epoch = lambda w_in, w_out, k, ls, le: sm(
             w_in, w_out, corpus_dev, k, ls, le)
 
+    # pre-fold epoch keys and use host scalars for lr: eager device ops between
+    # async epoch dispatches stall tunneled PJRT transports (ops/sampling.HASH_MULT)
+    epoch_keys = {ep: jax.random.fold_in(key, ep)
+                  for ep in range(start_epoch, cfg.iters)}
+    if epoch_keys:
+        jax.block_until_ready(list(epoch_keys.values()))
     for ep in range(start_epoch, cfg.iters):
         lr_s = cfg.lr + (lr_lo - cfg.lr) * ep / max(cfg.iters, 1)
         lr_e = cfg.lr + (lr_lo - cfg.lr) * (ep + 1) / max(cfg.iters, 1)
-        w_in, w_out = epoch(w_in, w_out, jax.random.fold_in(key, ep),
-                            jnp.float32(lr_s), jnp.float32(lr_e))
+        w_in, w_out = epoch(w_in, w_out, epoch_keys[ep],
+                            np.float32(lr_s), np.float32(lr_e))
         if on_epoch is not None:
             on_epoch(ep, np.asarray(w_in), np.asarray(w_out))
     return np.asarray(w_in), np.asarray(w_out)

@@ -230,10 +230,13 @@ def distributed_random_walks(
     starts_dev = jax.device_put(
         jnp.asarray(starts_pad), jax.sharding.NamedSharding(mesh, P(AXIS)))
     base = jax.random.PRNGKey(seed)
+    # pre-fold round keys: eager fold_in between async dispatches stalls tunneled
+    # PJRT transports (see ops/sampling.HASH_MULT note)
+    keys = [jax.random.fold_in(base, r) for r in range(num_walks)]
+    jax.block_until_ready(keys)
     rounds = []
     for r in range(num_walks):
         paths = distributed_walk_once(
-            arrays, route_dev, starts_dev, jax.random.fold_in(base, r),
-            spec, S, mesh)
+            arrays, route_dev, starts_dev, keys[r], spec, S, mesh)
         rounds.append(np.asarray(paths)[:W])
     return np.concatenate(rounds, axis=0)

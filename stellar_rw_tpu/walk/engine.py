@@ -195,6 +195,8 @@ def random_walks(
     r = 0
     while r < num_walks:
         rb = min(per_batch, num_walks - r)
-        rounds.append(walk_corpus(g, starts_dev, base, spec, rb, jnp.int32(r)))
+        # np (host) scalar, not jnp: an eager device op interleaved between async
+        # dispatches stalls tunneled PJRT transports (see ops/sampling.HASH_MULT)
+        rounds.append(walk_corpus(g, starts_dev, base, spec, rb, np.int32(r)))
         r += rb
     return np.asarray(jnp.concatenate(rounds, axis=0) if len(rounds) > 1 else rounds[0])

@@ -104,3 +104,89 @@ def test_save_load_walks_roundtrip(tmp_path, karate_path):
         [int(g.ids[0]), int(g.ids[1]), int(g.ids[2])],
         [int(g.ids[3]), int(g.ids[4])],
     ]
+
+
+def test_hash_tables_vectorized_membership():
+    """The vectorized hash build must give exact membership for every (row, query):
+    all real neighbors found within HASH_MAX_PROBES, non-neighbors absent."""
+    import numpy as np
+    from stellar_rw_tpu.graph import csr
+
+    rng = np.random.default_rng(3)
+    V, E = 300, 4000
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    g = csr.from_edge_arrays(src, dst, num_vertices=V, symmetrize=True)
+    g.build_hash_tables()
+    for v in range(V):
+        nbrs = set(g.cols[g.offsets[v]:g.offsets[v + 1]].tolist())
+        base = int(g.hash_offsets[v])
+        mask = int(g.hash_mask[v])
+        tab = g.hash_table[base:base + mask + 1]
+        # every key present within max_probes of its hash slot
+        for k in nbrs:
+            h = int((np.uint64(k) * np.uint64(csr.HASH_MULT)) & np.uint64(0xFFFFFFFF)) & mask
+            probes = [int(tab[(h + i) & mask]) for i in range(csr.HASH_MAX_PROBES)]
+            assert k in probes, (v, k)
+        # table contains exactly the neighbor set (plus -1 fill)
+        present = set(int(x) for x in tab if x >= 0)
+        assert present == nbrs
+
+
+def test_from_edge_arrays_matches_from_adjacency():
+    import numpy as np
+    from stellar_rw_tpu.graph import csr
+
+    rng = np.random.default_rng(5)
+    V, E = 50, 400
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    w = rng.random(E).astype(np.float32)
+    adj = {v: [] for v in range(V)}
+    for a, b, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        adj[a].append((b, ww))
+        adj[b].append((a, ww))
+    g1 = csr.from_adjacency(adj)
+    g2 = csr.from_edge_arrays(src, dst, w, num_vertices=V, symmetrize=True)
+    assert np.array_equal(g1.offsets, g2.offsets)
+    assert np.array_equal(g1.cols, g2.cols)
+    # same multiset of weights per (row, col) pair
+    for v in range(V):
+        s, e = g1.offsets[v], g1.offsets[v + 1]
+        assert np.allclose(np.sort(g1.weights[s:e]), np.sort(g2.weights[s:e]))
+
+
+def test_alias_tables_uniform_fast_path():
+    """Unweighted rows skip Vose: keep-prob exactly 1, identity alias; mixed graphs
+    still match the weight distribution on weighted rows."""
+    import numpy as np
+    from stellar_rw_tpu.graph import csr
+
+    rng = np.random.default_rng(7)
+    V, E = 40, 300
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    w = np.ones(E, np.float32)
+    weighted_rows = set(rng.integers(0, V, 10).tolist())
+    for i, s in enumerate(src.tolist()):
+        if s in weighted_rows:
+            w[i] = rng.integers(1, 5)
+    g = csr.from_edge_arrays(src, dst, w, num_vertices=V)
+    g.build_alias_tables()
+    for v in range(V):
+        s, e = int(g.offsets[v]), int(g.offsets[v + 1])
+        if e <= s:
+            continue
+        ws = g.weights[s:e]
+        if np.all(ws == ws[0]):
+            assert np.all(g.alias_prob[s:e] == 1.0)
+            assert np.array_equal(g.alias_pos[s:e], np.arange(e - s))
+        else:
+            # alias draw distribution == w / sum(w): evaluate exactly by summing
+            # keep/alias mass per in-row position
+            n = e - s
+            mass = np.zeros(n)
+            for j in range(n):
+                mass[j] += g.alias_prob[s + j]
+                mass[g.alias_pos[s + j]] += 1.0 - g.alias_prob[s + j]
+            assert np.allclose(mass / n, ws / ws.sum(), atol=1e-6)
