@@ -97,35 +97,54 @@ void build_alias_row(const float* w, int64_t d, float* prob, int32_t* pos) {
 }
 
 // Open-addressing table for one row; grows until every key fits in kHashMaxProbes.
+//
+// Placement is ROUND-based, not sequential-insertion, to be bit-identical with the
+// vectorized Python builder (graph/csr.py build_hash_tables): in round i every
+// still-unplaced key attempts probe slot (h + i) & mask; only slots free at the START
+// of the round are candidates; ties within a round go to the lowest key index
+// (keys are sorted ascending, matching the Python global key order). A key never
+// re-tries an earlier probe index.
 void build_hash_row(const int32_t* keys_begin, int64_t d,
                     std::vector<int32_t>& out, int32_t& mask) {
   std::vector<int32_t> keys(keys_begin, keys_begin + d);
   std::sort(keys.begin(), keys.end());
   keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  const int64_t nk = static_cast<int64_t>(keys.size());
   int64_t size = 8;
-  while (size < 2 * static_cast<int64_t>(keys.size() ? keys.size() : 1)) size *= 2;
+  while (size < 2 * (nk ? nk : 1)) size *= 2;
   for (;;) {
     std::vector<int32_t> table(size, -1);
-    int64_t m = size - 1;
-    bool ok = true;
-    for (int32_t k : keys) {
-      int64_t h = static_cast<int64_t>(
-                      (static_cast<uint32_t>(k) * kHashMult)) & m;
-      bool placed = false;
-      for (int i = 0; i < kHashMaxProbes; ++i) {
-        int64_t s = (h + i) & m;
-        if (table[s] == -1) {
-          table[s] = k;
-          placed = true;
-          break;
+    const int64_t m = size - 1;
+    std::vector<int32_t> unplaced(nk);
+    for (int64_t i = 0; i < nk; ++i) unplaced[i] = static_cast<int32_t>(i);
+    for (int round = 0; round < kHashMaxProbes && !unplaced.empty(); ++round) {
+      // (slot, key index) for every unplaced key whose slot is free pre-round.
+      std::vector<std::pair<int64_t, int32_t>> cand;
+      cand.reserve(unplaced.size());
+      for (int32_t ki : unplaced) {
+        int64_t h = static_cast<int64_t>(
+            static_cast<uint32_t>(keys[ki]) * kHashMult);
+        int64_t slot = (h + round) & m;
+        if (table[slot] == -1) cand.emplace_back(slot, ki);
+      }
+      std::stable_sort(cand.begin(), cand.end(),
+                       [](const auto& a, const auto& b) { return a.first < b.first; });
+      std::vector<bool> placed(nk, false);
+      int64_t prev_slot = -1;
+      for (const auto& [slot, ki] : cand) {
+        if (slot != prev_slot) {
+          table[slot] = keys[ki];
+          placed[ki] = true;
+          prev_slot = slot;
         }
       }
-      if (!placed) {
-        ok = false;
-        break;
-      }
+      std::vector<int32_t> next;
+      next.reserve(unplaced.size());
+      for (int32_t ki : unplaced)
+        if (!placed[ki]) next.push_back(ki);
+      unplaced = std::move(next);
     }
-    if (ok) {
+    if (unplaced.empty()) {
       mask = static_cast<int32_t>(m);
       out = std::move(table);
       return;
