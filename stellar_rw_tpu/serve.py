@@ -1,0 +1,181 @@
+"""Service entry point — the TPU-native analog of the reference's Spark-JobServer
+integration (reference Main.scala:99-143; usage README.md:35-78).
+
+The reference implements the job-server `SparkJob` API: `JobData = Params`,
+`JobOutput = String` (the output path); `validate` re-parses a single `rw.input`
+config string as argv (Main.scala:137-143, key read at :139) and `runJob` executes
+the same pipeline as the CLI (Main.scala:109-127). Here the same two functions are
+plain Python (`validate(config) -> Params`, `run_job(params) -> str`, both sharing
+the CLI's parse/dispatch path), plus a thin stdlib HTTP server exposing them as the
+job-server REST surface:
+
+  POST /jobs   body {"rw.input": "--cmd ... --input ... --output ..."}
+               -> 202 {"jobId": ..., "status": "RUNNING"}   (job runs async)
+  GET  /jobs/<id>  -> {"jobId", "status": RUNNING|FINISHED|ERROR, "result"|"error"}
+  GET  /jobs       -> list of the above
+
+No external dependencies; jobs run in daemon threads (one pipeline at a time per
+process, like one SparkContext per job-server context).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .utils.config import Params, parse
+
+CONFIG_KEY = "rw.input"  # reference Main.scala:139
+
+
+def validate(config: dict) -> Params:
+    """Parse a job-server config into Params (reference Main.validate:137-143).
+
+    The reference reads the single `rw.input` string and whitespace-splits it into
+    argv; a missing key or unparsable argv fails the job (the reference's match is
+    non-exhaustive and throws MatchError on parse failure — here a ValueError).
+    """
+    if CONFIG_KEY not in config:
+        raise ValueError(f"config key {CONFIG_KEY!r} is required")
+    argv = str(config[CONFIG_KEY]).split()
+    params = parse(argv)
+    if params is None:
+        raise ValueError(f"could not parse {CONFIG_KEY}: {config[CONFIG_KEY]!r}")
+    return params
+
+
+def run_job(params: Params) -> str:
+    """Execute the pipeline; JobOutput = the output path (reference Main.scala:126)."""
+    from . import cli
+
+    return cli.run_job(params)
+
+
+@dataclass
+class _Job:
+    id: str
+    status: str = "RUNNING"            # RUNNING | FINISHED | ERROR
+    result: str | None = None
+    error: str | None = None
+    thread: threading.Thread | None = field(default=None, repr=False)
+
+    def as_dict(self) -> dict:
+        d = {"jobId": self.id, "status": self.status}
+        if self.result is not None:
+            d["result"] = self.result
+        if self.error is not None:
+            d["error"] = self.error
+        return d
+
+
+class JobServer:
+    """Minimal REST job server over the validate/run_job pair."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._jobs: dict[str, _Job] = {}
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/jobs":
+                    return self._reply(404, {"error": "not found"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    config = json.loads(self.rfile.read(n) or b"{}")
+                    params = validate(config)
+                except (ValueError, json.JSONDecodeError) as e:
+                    return self._reply(400, {"error": str(e)})
+                job = server.submit(params)
+                self._reply(202, job.as_dict())
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p]
+                if parts == ["jobs"]:
+                    with server._lock:
+                        return self._reply(
+                            200, {"jobs": [j.as_dict() for j in server._jobs.values()]})
+                if len(parts) == 2 and parts[0] == "jobs":
+                    with server._lock:
+                        job = server._jobs.get(parts[1])
+                    if job is None:
+                        return self._reply(404, {"error": "no such job"})
+                    return self._reply(200, job.as_dict())
+                self._reply(404, {"error": "not found"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self._serve_thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def submit(self, params: Params) -> _Job:
+        """Run a validated job asynchronously; returns its tracking record."""
+        job = _Job(id=uuid.uuid4().hex[:12])
+
+        def work():
+            try:
+                job.result = run_job(params)
+                job.status = "FINISHED"
+            except Exception as e:  # job isolation: a failed job must not kill the server
+                job.error = f"{type(e).__name__}: {e}"
+                job.status = "ERROR"
+
+        job.thread = threading.Thread(target=work, daemon=True)
+        with self._lock:
+            self._jobs[job.id] = job
+        job.thread.start()
+        return job
+
+    def start(self) -> None:
+        self._serve_thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._serve_thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    def wait(self, job_id: str, timeout: float | None = None) -> _Job:
+        with self._lock:
+            job = self._jobs[job_id]
+        if job.thread is not None:
+            job.thread.join(timeout)
+        return job
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="stellar-rw-tpu-serve", description="job-server entry point")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8090)
+    ns = ap.parse_args(argv)
+    srv = JobServer(ns.host, ns.port)
+    print(f"serving on http://{srv.address[0]}:{srv.address[1]} "
+          f"(POST /jobs with {{'{CONFIG_KEY}': '<argv string>'}})")
+    try:
+        srv.httpd.serve_forever()
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
