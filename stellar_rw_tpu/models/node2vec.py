@@ -40,6 +40,7 @@ def sgns_config(params: Params) -> w2v.SGNSConfig:
         lr=params.w2v_lr,
         iters=params.w2v_iter,
         seed=params.seed,
+        shared_negatives=params.shared_negatives,
     )
 
 

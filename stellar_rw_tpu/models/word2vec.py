@@ -43,6 +43,7 @@ class SGNSConfig:
     seed: int = 0
     power: float = 0.75      # unigram smoothing for negative table
     shared_negatives: int = 0  # >0: kB block-shared negatives (MXU path, see below)
+    use_pallas: bool | None = None  # fused shared-neg kernel; None = auto (TPU only)
 
 
 def _init_embeddings(vocab: int, dim: int, key) -> tuple[jax.Array, jax.Array]:
@@ -140,7 +141,7 @@ def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None)
 
 
 def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
-                       neg_weight: float, axis_name=None):
+                       neg_weight: float, axis_name=None, use_pallas: bool = False):
     """SGNS step with BLOCK-SHARED negatives — the MXU formulation.
 
     Instead of k private negatives per pair (P·k embedding gathers + elementwise
@@ -160,13 +161,19 @@ def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
     vo = w_out[x]                                  # [P, D]
     wn = w_out[negs]                               # [kB, D]
     pos = jnp.sum(vi * vo, axis=-1)                # [P]
-    neg = jnp.dot(vi, wn.T, preferred_element_type=jnp.float32)  # [P, kB] (MXU)
     g_pos = (jax.nn.sigmoid(pos) - 1.0) * vf                     # [P]
-    g_neg = jax.nn.sigmoid(neg) * (vf * neg_weight)[:, None]     # [P, kB]
-    d_vi = g_pos[:, None] * vo + jnp.dot(
-        g_neg, wn, preferred_element_type=jnp.float32)           # [P, D] (MXU)
-    d_vo = g_pos[:, None] * vi                                   # [P, D]
-    d_wn = jnp.dot(g_neg.T, vi, preferred_element_type=jnp.float32)  # [kB, D] (MXU)
+    if use_pallas:
+        # fused Pallas kernel: the [P, kB] negative-logit tile and all three
+        # gradient matmuls stay in VMEM (ops/pallas/sgns.py)
+        from ..ops.pallas.sgns import sgns_shared_grads
+        d_vi, d_vo, d_wn = sgns_shared_grads(vi, vo, wn, g_pos, vf * neg_weight)
+    else:
+        neg = jnp.dot(vi, wn.T, preferred_element_type=jnp.float32)  # [P, kB] (MXU)
+        g_neg = jax.nn.sigmoid(neg) * (vf * neg_weight)[:, None]     # [P, kB]
+        d_vi = g_pos[:, None] * vo + jnp.dot(
+            g_neg, wn, preferred_element_type=jnp.float32)           # [P, D] (MXU)
+        d_vo = g_pos[:, None] * vi                                   # [P, D]
+        d_wn = jnp.dot(g_neg.T, vi, preferred_element_type=jnp.float32)  # [kB, D] (MXU)
 
     cnt_in = jnp.zeros((w_in.shape[0],), jnp.float32).at[c].add(vf, mode="drop")
     cnt_out = jnp.zeros((w_out.shape[0],), jnp.float32).at[x].add(vf, mode="drop")
@@ -194,11 +201,12 @@ def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
 
 
 @partial(jax.jit,
-         static_argnames=("window", "negatives", "axis_name", "shared_negatives"),
+         static_argnames=("window", "negatives", "axis_name", "shared_negatives",
+                          "use_pallas"),
          donate_argnums=(0, 1))
 def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
                  lr_start, lr_end, window: int, negatives: int, axis_name=None,
-                 shared_negatives: int = 0):
+                 shared_negatives: int = 0, use_pallas: bool = False):
     """One epoch over the full corpus: scan over row blocks (corpus pre-padded to a
     multiple of the block size with -1 rows)."""
     n_blocks, B, T = corpus.shape
@@ -215,7 +223,8 @@ def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
                                    (shared_negatives,), neg_keep, neg_alias)
             w_in, w_out = _sgns_apply_shared(
                 w_in, w_out, centers, contexts, valid, negs, lr,
-                neg_weight=negatives / shared_negatives, axis_name=axis_name)
+                neg_weight=negatives / shared_negatives, axis_name=axis_name,
+                use_pallas=use_pallas)
         else:
             negs = _draw_negatives(jax.random.fold_in(kb, 2),
                                    (centers.shape[0], negatives), neg_keep, neg_alias)
@@ -274,11 +283,13 @@ def train_skipgram(
         w_in, w_out = _init_embeddings(vocab_size, cfg.dim,
                                        jax.random.fold_in(key, 0x1A17))
     lr_lo = cfg.lr * cfg.min_lr_frac
+    use_pallas = (jax.default_backend() == "tpu"
+                  if cfg.use_pallas is None else cfg.use_pallas)
     if P == 1:
         corpus_dev = jnp.asarray(padded.reshape(n_blocks, B, T))
         epoch = lambda w_in, w_out, k, ls, le: _train_epoch(
             w_in, w_out, corpus_dev, nk, na, k, ls, le, cfg.window, cfg.negatives,
-            shared_negatives=cfg.shared_negatives)
+            shared_negatives=cfg.shared_negatives, use_pallas=use_pallas)
     else:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
@@ -298,7 +309,7 @@ def train_skipgram(
             return _train_epoch(
                 w_in, w_out, corpus_l[0], nk, na, jax.random.fold_in(k, my),
                 ls, le, cfg.window, cfg.negatives, axis_name="dp",
-                shared_negatives=cfg.shared_negatives)
+                shared_negatives=cfg.shared_negatives, use_pallas=use_pallas)
 
         sm = jax.shard_map(
             dp_epoch, mesh=mesh,

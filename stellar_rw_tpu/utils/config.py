@@ -56,6 +56,7 @@ class Params:
     w2v_batch: int = 8192
     resume: bool = False          # resume skip-gram training from <output>/bin checkpoint
     checkpoint_every: int = 0     # save a trainer checkpoint every N epochs (0 = off)
+    shared_negatives: int = 0     # >0: block-shared negatives (MXU/Pallas skip-gram path)
 
     def __str__(self) -> str:  # reference AbstractParams.scala:39-52 pretty-print
         d = dataclasses.asdict(self)
@@ -110,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="resume word2vec training from the checkpoint in <output>/bin")
     ap.add_argument("--checkpointEvery", type=int, default=d.checkpoint_every,
                     help="save a trainer checkpoint every N epochs (0 = off)")
+    ap.add_argument("--sharedNegatives", type=int, default=d.shared_negatives,
+                    help="block-shared negatives kB for the MXU/Pallas skip-gram "
+                         "path (0 = per-pair negatives)")
     return ap
 
 
@@ -128,6 +132,7 @@ def parse(argv: list[str]) -> Params | None:
         partitioned=ns.partitioned, cmd=TaskName(ns.cmd), seed=ns.seed,
         sampler=ns.sampler, w2v_negatives=ns.negatives, w2v_batch=ns.batch,
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
+        shared_negatives=ns.sharedNegatives,
     )
 
 
