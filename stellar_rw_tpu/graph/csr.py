@@ -200,35 +200,6 @@ class CSRGraph:
         self.hash_table = table
 
 
-def _build_vertex_hash(keys: np.ndarray, max_probes: int) -> np.ndarray:
-    """Open-addressing table (power-of-two size, linear probing) for one vertex's
-    neighbor set; grows until every key lands within max_probes probes."""
-    keys = np.unique(keys).astype(np.int64)
-    size = 8
-    need = max(1, len(keys))
-    while size < 2 * need:
-        size *= 2
-    while True:
-        table = np.full(size, -1, dtype=np.int32)
-        mask = size - 1
-        ok = True
-        h0 = ((keys.astype(np.uint64) * np.uint64(HASH_MULT)) & np.uint64(0xFFFFFFFF)).astype(np.int64) & mask
-        for k, h in zip(keys, h0):
-            placed = False
-            for i in range(max_probes):
-                s = (h + i) & mask
-                if table[s] == -1:
-                    table[s] = k
-                    placed = True
-                    break
-            if not placed:
-                ok = False
-                break
-        if ok:
-            return table
-        size *= 2
-
-
 def from_adjacency(adj: dict[int, list[tuple[int, float]]]) -> CSRGraph:
     """Build a CSR from {orig_src: [(orig_dst, w), ...]}.
 

@@ -84,6 +84,11 @@ def search_iters(max_degree: int) -> int:
 def in_row(g: DeviceGraph, rows: jax.Array, queries: jax.Array, n_iters: int) -> jax.Array:
     """Vectorized membership: queries[...] in sorted row cols[offsets[rows]:offsets[rows+1]].
 
+    TEST/REFERENCE PATH ONLY — production membership goes through `in_row_hash`
+    (constant HASH_PROBES slot reads beat a log2(max_degree)-deep gather chain on
+    TPU); this binary search stays as the independent oracle the hash tables are
+    cross-validated against (tests/test_sampling.py).
+
     rows and queries broadcast together; n_iters >= log2(max_degree)+1 (static).
     """
     E = g.num_edges

@@ -14,8 +14,9 @@ job-server REST surface:
   GET  /jobs/<id>  -> {"jobId", "status": RUNNING|FINISHED|ERROR, "result"|"error"}
   GET  /jobs       -> list of the above
 
-No external dependencies; jobs run in daemon threads (one pipeline at a time per
-process, like one SparkContext per job-server context).
+No external dependencies; jobs run in daemon threads. Execution is serialized by a
+semaphore (`max_concurrent`, default 1) so one pipeline runs at a time per process,
+like one SparkContext per job-server context; queued jobs report RUNNING.
 """
 
 from __future__ import annotations
@@ -74,9 +75,11 @@ class _Job:
 class JobServer:
     """Minimal REST job server over the validate/run_job pair."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 max_concurrent: int = 1):
         self._jobs: dict[str, _Job] = {}
         self._lock = threading.Lock()
+        self._run_slots = threading.Semaphore(max(1, max_concurrent))
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -129,12 +132,13 @@ class JobServer:
         job = _Job(id=uuid.uuid4().hex[:12])
 
         def work():
-            try:
-                job.result = run_job(params)
-                job.status = "FINISHED"
-            except Exception as e:  # job isolation: a failed job must not kill the server
-                job.error = f"{type(e).__name__}: {e}"
-                job.status = "ERROR"
+            with self._run_slots:  # bound concurrency (max_concurrent pipelines)
+                try:
+                    job.result = run_job(params)
+                    job.status = "FINISHED"
+                except Exception as e:  # a failed job must not kill the server
+                    job.error = f"{type(e).__name__}: {e}"
+                    job.status = "ERROR"
 
         job.thread = threading.Thread(target=work, daemon=True)
         with self._lock:
@@ -148,7 +152,11 @@ class JobServer:
         self._serve_thread.start()
 
     def stop(self) -> None:
-        self.httpd.shutdown()
+        # shutdown() blocks forever if serve_forever() was never entered — only
+        # call it when a serve thread exists (or main() ran serve_forever inline)
+        if self._serve_thread is not None:
+            self.httpd.shutdown()
+            self._serve_thread.join(timeout=10)
         self.httpd.server_close()
 
     def wait(self, job_id: str, timeout: float | None = None) -> _Job:

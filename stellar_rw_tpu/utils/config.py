@@ -53,7 +53,6 @@ class Params:
     seed: int = 0
     sampler: str = "rejection"  # "rejection" (alias+accept, prod) | "cdf" (exact inverse-CDF)
     w2v_negatives: int = 5
-    w2v_batch: int = 8192
     resume: bool = False          # resume skip-gram training from <output>/bin checkpoint
     checkpoint_every: int = 0     # save a trainer checkpoint every N epochs (0 = off)
     shared_negatives: int = 0     # >0: block-shared negatives (MXU/Pallas skip-gram path)
@@ -106,7 +105,6 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sampler", choices=["rejection", "cdf"], default=d.sampler,
                     help="transition sampler: rejection (alias+accept) or cdf (exact inverse-CDF)")
     ap.add_argument("--negatives", type=int, default=d.w2v_negatives, help="negative samples per pair")
-    ap.add_argument("--batch", type=int, default=d.w2v_batch, help="word2vec batch size (pairs)")
     ap.add_argument("--resume", type=_bool, default=d.resume,
                     help="resume word2vec training from the checkpoint in <output>/bin")
     ap.add_argument("--checkpointEvery", type=int, default=d.checkpoint_every,
@@ -130,7 +128,7 @@ def parse(argv: list[str]) -> Params | None:
         directed=ns.directed, input=ns.input, output=ns.output,
         rdd_partitions=ns.rddPartitions, single_output=ns.singleOutput,
         partitioned=ns.partitioned, cmd=TaskName(ns.cmd), seed=ns.seed,
-        sampler=ns.sampler, w2v_negatives=ns.negatives, w2v_batch=ns.batch,
+        sampler=ns.sampler, w2v_negatives=ns.negatives,
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
         shared_negatives=ns.sharedNegatives,
     )
