@@ -26,25 +26,27 @@ logger = logging.getLogger("stellar_rw_tpu")
 
 
 def _load_graph(params: Params):
+    """-> (graph, home): home = per-vertex home partition for VCut routing
+    (reference VCutRandomWalk.scala:92-97), None on the uniform path."""
     if params.partitioned:
-        g, home = gio.load_edge_list_partitioned(
+        return gio.load_edge_list_partitioned(
             params.input, weighted=params.weighted, directed=params.directed,
             partitioned=True, num_partitions=params.rdd_partitions, seed=params.seed)
-        return g
-    return gio.load_edge_list(
+    g = gio.load_edge_list(
         params.input, weighted=params.weighted, directed=params.directed)
+    return g, None
 
 
 def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
     """Load graph, run walks, save corpus (reference Main.doRandomWalk:53-62)."""
     t0 = time.time()
-    graph = _load_graph(params)
+    graph, home = _load_graph(params)
     # graph stats logging, the reference's V/E accumulators (UniformRandomWalk.scala:67-79)
     logger.info("vertices: %d", graph.num_vertices)
     logger.info("edges: %d", graph.num_edges)
     print(f"vertices: {graph.num_vertices}")
     print(f"edges: {graph.num_edges}")
-    walks = n2v.run_walks(graph, params)
+    walks = n2v.run_walks(graph, params, home)
     dt = time.time() - t0
     from .utils.stats import walk_stats
     ws = walk_stats(walks)

@@ -82,6 +82,14 @@ class CSRGraph:
         if self.alias_prob is not None:
             return
         E = self.num_edges
+        try:  # native fast path (bit-identical output, tests/test_native.py)
+            from .. import native
+            if native.available():
+                self.alias_prob, self.alias_pos = native.build_alias_rows(
+                    self.offsets, self.weights)
+                return
+        except Exception:
+            pass
         prob = np.ones(E, dtype=np.float32)
         alias = np.arange(E, dtype=np.int64)
         deg = self.offsets[1:] - self.offsets[:-1]

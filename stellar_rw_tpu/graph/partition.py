@@ -68,27 +68,31 @@ def partition_graph(graph: CSRGraph, num_shards: int,
             route.max(initial=0) < S, "route must map every vertex to [0, S)"
 
     deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
-    src_of_edge = np.repeat(np.arange(V, dtype=np.int32), deg)
+    E = graph.num_edges
 
-    # adjacency in the undirected sense: shard s needs row(u) for every u touching an
-    # owned vertex from either side
-    out_pairs = np.stack([src_of_edge, graph.cols], axis=1)       # v -> u
-    halo_sets: list[np.ndarray] = []
+    # Halo rows, fully vectorized (no per-shard O(V) masks — required at
+    # LiveJournal scale): each arc u->w obliges shard route[u] to hold row(w) and
+    # shard route[w] to hold row(u). Unique (shard, row) pairs via a packed key.
+    if E:
+        src_of_edge = np.repeat(np.arange(V, dtype=np.int64), deg)
+        cols64 = graph.cols.astype(np.int64)
+        pair_shard = np.concatenate([route[src_of_edge], route[cols64]]).astype(np.int64)
+        pair_row = np.concatenate([cols64, src_of_edge])
+        key = np.unique(pair_shard * V + pair_row)
+        k_shard = (key // V).astype(np.int32)
+        k_row = key % V
+        is_halo = route[k_row] != k_shard
+        k_shard, k_row = k_shard[is_halo], k_row[is_halo]
+    else:
+        k_shard = np.zeros(0, dtype=np.int32)
+        k_row = np.zeros(0, dtype=np.int64)
+
+    # rows per shard: owned ascending, then halo ascending (keys are sorted, so
+    # k_row is ascending within each shard)
     rows_per_shard: list[np.ndarray] = []
     for s in range(S):
-        owned = np.nonzero(route == s)[0].astype(np.int32)
-        owned_mask = np.zeros(V, dtype=bool)
-        owned_mask[owned] = True
-        nbr_mask = np.zeros(V, dtype=bool)
-        if len(out_pairs):
-            # u reachable from owned rows (out-neighbors of owned)
-            sel = owned_mask[out_pairs[:, 0]]
-            nbr_mask[out_pairs[sel, 1]] = True
-            # u with an edge INTO an owned vertex (in-neighbors of owned)
-            sel = owned_mask[out_pairs[:, 1]]
-            nbr_mask[out_pairs[sel, 0]] = True
-        halo = np.nonzero(nbr_mask & ~owned_mask)[0].astype(np.int32)
-        halo_sets.append(halo)
+        owned = np.flatnonzero(route == s).astype(np.int64)
+        halo = k_row[k_shard == s]
         rows_per_shard.append(np.concatenate([owned, halo]))
 
     R_max = max((len(r) for r in rows_per_shard), default=1) or 1
@@ -108,27 +112,38 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     num_owned = np.zeros(S, dtype=np.int32)
     num_local = np.zeros(S, dtype=np.int32)
 
+    def _flat_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Concatenated [starts[i], starts[i]+lens[i]) ranges without Python loops:
+        element j of range i sits at repeat(starts - cumsum_exclusive, lens) + j."""
+        total = int(lens.sum())
+        csum = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=csum[1:])
+        return np.repeat(starts - csum[:-1], lens) + np.arange(total, dtype=np.int64)
+
     for s, rows in enumerate(rows_per_shard):
+        R = len(rows)
         num_owned[s] = int((route == s).sum())
-        num_local[s] = len(rows)
-        glob2loc[s, rows] = np.arange(len(rows), dtype=np.int32)
-        e = 0
-        he = 0
-        for i, v in enumerate(rows):
-            a, b = int(graph.offsets[v]), int(graph.offsets[v + 1])
-            n = b - a
-            cols[s, e:e + n] = graph.cols[a:b]
-            weights[s, e:e + n] = graph.weights[a:b]
-            aprob[s, e:e + n] = graph.alias_prob[a:b]
-            apos[s, e:e + n] = graph.alias_pos[a:b]
-            offsets[s, i + 1] = offsets[s, i] + n
-            e += n
-            ha, hb = int(graph.hash_offsets[v]), int(graph.hash_offsets[v + 1])
-            htab[s, he:he + (hb - ha)] = graph.hash_table[ha:hb]
-            hoff[s, i] = he
-            hmask[s, i] = graph.hash_mask[v]
-            he += hb - ha
-        offsets[s, len(rows) + 1:] = offsets[s, len(rows)]
+        num_local[s] = R
+        if R == 0:
+            continue
+        glob2loc[s, rows] = np.arange(R, dtype=np.int32)
+        lens = deg[rows]
+        E_s = int(lens.sum())
+        np.cumsum(lens, out=offsets[s, 1:R + 1])
+        offsets[s, R + 1:] = offsets[s, R]
+        if E_s:
+            idx = _flat_gather_idx(graph.offsets[:-1][rows], lens)
+            cols[s, :E_s] = graph.cols[idx]
+            weights[s, :E_s] = graph.weights[idx]
+            aprob[s, :E_s] = graph.alias_prob[idx]
+            apos[s, :E_s] = graph.alias_pos[idx]
+        hs = hsizes[rows]
+        H_s = int(hs.sum())
+        hoff[s, 1:R] = np.cumsum(hs)[:-1]
+        hmask[s, :R] = graph.hash_mask[rows]
+        if H_s:
+            hidx = _flat_gather_idx(graph.hash_offsets[:-1][rows], hs)
+            htab[s, :H_s] = graph.hash_table[hidx]
 
     return ShardedGraphHost(
         num_shards=S, route=route, offsets=offsets, cols=cols, weights=weights,

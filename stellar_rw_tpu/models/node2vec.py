@@ -9,6 +9,7 @@ TPU-native equivalent of the reference's task wiring (reference Main.scala:109-1
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 import numpy as np
@@ -19,10 +20,33 @@ from ..utils.config import MODEL_SUFFIX, Params
 from ..walk import engine
 from . import word2vec as w2v
 
+logger = logging.getLogger("stellar_rw_tpu.node2vec")
 
-def run_walks(graph: CSRGraph, params: Params) -> np.ndarray:
-    return engine.random_walks(
-        graph,
+
+def num_walk_shards(params: Params) -> int:
+    """Resolve --shards: 0 = auto (single-chip unless --partitioned true, which
+    mirrors the reference dispatching VCutRandomWalk across rddPartitions,
+    Main.scala:54-57); always capped at the number of attached devices."""
+    import jax
+
+    ndev = len(jax.devices())
+    if params.shards > 0:
+        return max(1, min(params.shards, ndev))
+    if params.partitioned:
+        return max(1, min(ndev, params.rdd_partitions))
+    return 1
+
+
+def run_walks(graph: CSRGraph, params: Params,
+              home: np.ndarray | None = None) -> np.ndarray:
+    """Dispatch the walk engine — the analog of the reference choosing
+    UniformRandomWalk vs VCutRandomWalk on --partitioned (Main.scala:54-57).
+
+    home: per-vertex home partition from the VCut loader (VCutRandomWalk.scala:
+    92-97); when sharded, walkers route by home % shards; otherwise the uniform
+    hash policy applies. Both engines produce bitwise-identical corpora.
+    """
+    kw = dict(
         walk_length=params.walk_length,
         num_walks=params.num_walks,
         p=params.p,
@@ -30,6 +54,24 @@ def run_walks(graph: CSRGraph, params: Params) -> np.ndarray:
         seed=params.seed,
         sampler=params.sampler,
     )
+    S = num_walk_shards(params)
+    if S <= 1:
+        return engine.random_walks(graph, **kw)
+    from ..parallel import distributed
+
+    route = None
+    if params.partitioned and home is not None:
+        route = (home.astype(np.int64) % S).astype(np.int32)
+    walks, stats = distributed.distributed_random_walks(
+        graph, num_shards=S, route=route, verbose=True, return_stats=True, **kw)
+    print(f"shards: {S} ({'vcut' if route is not None else 'hash'} routing), "
+          f"replication factor: {stats['replication_factor']:.3f}, "
+          f"boundary walkers: {stats['boundary_walkers']}, "
+          f"a2a capacity: {stats['capacity']}, "
+          f"overflow supersteps: {stats['overflow_steps']}")
+    logger.info("shard stats: %s",
+                {k: v for k, v in stats.items() if k != "diag"})
+    return walks
 
 
 def sgns_config(params: Params) -> w2v.SGNSConfig:

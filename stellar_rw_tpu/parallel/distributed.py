@@ -2,27 +2,45 @@
 
 TPU-native replacement for the reference's BSP superstep machinery
 (reference RandomWalk.scala:91-192): the per-superstep Spark shuffle of boundary
-walkers becomes a fixed-capacity bucketed `lax.all_to_all` over ICI, the routing-table
-RDD/zipPartitions placement trick becomes a replicated i32[V] vertex->shard array, and
-driver-side convergence counting disappears entirely (dense lock-step stepping with
-done-masks; SURVEY.md §2.3, §5.8).
+walkers becomes a CAPACITY-BOUNDED bucketed `lax.all_to_all` over ICI, the
+routing-table RDD/zipPartitions placement trick becomes a replicated i32[V]
+vertex->shard array, and driver-side convergence counting disappears entirely
+(dense lock-step stepping with done-masks; SURVEY.md §2.3, §5.8).
 
 Design: "remote sampling" — walker state never migrates. Each step every live walker
-sends a tiny request (cur, prev, gid) to the shard that owns row(cur); that owner
-samples the transition locally (halo replication makes the prev-membership test local,
-see graph/partition.py) and the destination comes back through the inverse all-to-all.
-Two collectives per step, payload O(walkers · 4 ints), instead of shipping whole paths
-+ prevNeighbor lists around like the reference's walker transfer
-(UniformRandomWalk.scala:103-112).
+whose current vertex row lives on another shard sends a tiny request
+(cur, prev, gid) to the owner; the owner samples the transition locally (halo
+replication makes the prev-membership test local, see graph/partition.py) and the
+destination comes back through the inverse all-to-all. Walkers already sitting on
+their owner shard are sampled with NO collective at all (the local fast path — the
+analog of the reference's walk-until-boundary local loop, RandomWalk.scala:103-130).
+
+Exchange capacity: send buckets are [S, C] with C sized from the measured boundary
+fraction (auto) rather than the worst case C = walkers-per-shard, so per-superstep
+collective payload is O(actual crossings), not O(S * walkers). Walkers that do not
+fit (power-law hot shards) are served by additional bounded exchange rounds inside
+the same superstep — a `lax.while_loop` whose continuation condition is a psum'd
+remaining-count, so every shard executes the same number of collectives (SURVEY.md
+§7 hard-part 3: "fixed-capacity bucketed all-to-all with overflow handling").
+
+Round batching: ALL `num_walks` rounds advance together in ONE device dispatch
+(the distributed analog of walk/engine.walk_corpus) — no host sync per round.
 
 Determinism: every uniform is drawn from a counter-based stream indexed by GLOBAL
-walker id (1-D draws, see ops.sampling.round_uniforms), so walks are bitwise identical
-to the single-chip engine for any shard count — the distributed analog of the
-reference's injectable-RNG test seam.
+walker id (1-D draws, see ops.sampling.round_uniforms_batched), so walks are bitwise
+identical to the single-chip engine for any shard count, any route, any exchange
+capacity — the distributed analog of the reference's injectable-RNG test seam.
+
+Per-superstep diagnostics (psum'd on device, reference RandomWalk.scala:150-160):
+boundary walkers (the reference's transfer volume), new dead-ends ("Zero
+Neighbors"), and exchange overflow rounds. "Wrong Transports" cannot occur by
+construction: routing is the total function route[v].
 """
 
 from __future__ import annotations
 
+import logging
+import math
 from functools import partial
 
 import jax
@@ -38,6 +56,8 @@ from ..walk.engine import WalkSpec
 
 AXIS = "shards"
 
+logger = logging.getLogger("stellar_rw_tpu.distributed")
+
 
 def make_mesh(num_shards: int | None = None) -> Mesh:
     devs = jax.devices()
@@ -45,135 +65,182 @@ def make_mesh(num_shards: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 
-def _bucket_by_dest(dest, fields, S: int, C: int, fills):
-    """Place per-walker fields into [S, C] send buffers keyed by destination shard.
-    Returns buffers in field order. Bucket slot = rank among same-destination walkers
-    (stable), so layouts are deterministic."""
-    n = dest.shape[0]
-    order = jnp.argsort(dest, stable=True)
-    sd = dest[order]
-    counts = jnp.zeros((S,), jnp.int32).at[dest].add(1)
-    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    rank = jnp.arange(n, dtype=jnp.int32) - start[sd]
-    outs = []
-    for field, fill in zip(fields, fills):
-        buf = jnp.full((S, C), fill, field.dtype)
-        outs.append(buf.at[sd, rank].set(field[order], mode="drop"))
-    return outs
+@partial(jax.jit, static_argnames=("spec", "num_walks", "S", "C", "mesh"))
+def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
+                            spec: WalkSpec, num_walks: int, S: int, C: int,
+                            mesh: Mesh):
+    """All num_walks rounds of one walk per (padded) start vertex across S shards,
+    in a single dispatch.
 
+    Returns (paths i32[R*W_pad, L+2], diag i32[L+1, 3]): paths row r*W_pad + w is
+    round r of walker w (-1 padded, bitwise equal to engine.walk_corpus); diag row t
+    is (boundary walkers, new dead-ends, exchange rounds) at superstep t.
 
-def _exchange_and_sample(
-    g: DeviceGraph, glob2loc, route, cur, prev, alive, gids,
-    step_key, spec: WalkSpec, W_total: int, S: int, first: bool,
-):
-    """One superstep: route requests to row owners, sample there, route replies back.
-    Returns dst per local walker (-1 where dead-end / not alive)."""
-    W_s = cur.shape[0]
-    C = W_s  # worst-case capacity: every local walker to one shard
-    my = jax.lax.axis_index(AXIS).astype(jnp.int32)
-    dest = jnp.where(alive, route[cur], my)
-    slots = jnp.arange(W_s, dtype=jnp.int32)
-    s_cur, s_prev, s_gid, s_slot = _bucket_by_dest(
-        dest, (cur, prev, gids, slots), S, C, (0, 0, -1, 0))
-    s_sent = s_gid >= 0
-
-    a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=True)
-    r_cur, r_prev, r_gid = a2a(s_cur), a2a(s_prev), a2a(s_gid)
-
-    # ---- owner side: sample over the local CSR shard ----
-    fcur = r_cur.reshape(-1)
-    fprev = r_prev.reshape(-1)
-    fgid = jnp.clip(r_gid.reshape(-1), 0, W_total - 1)
-    valid = r_gid.reshape(-1) >= 0
-    cur_row = jnp.maximum(glob2loc[fcur], 0)
-    prev_row = jnp.maximum(glob2loc[fprev], 0)
-    deg = (g.offsets[cur_row + 1] - g.offsets[cur_row]).astype(jnp.int32)
-    can = valid & (deg > 0)
-    gather = lambda u: u[fgid]
-    if spec.sampler == "cdf":
-        dt = jnp.dtype(spec.dtype)
-        u = gather(jax.random.uniform(step_key, (W_total,), dtype=dt))
-        if first:
-            dst = sampling.cdf_sample_first_order(g, cur_row, u, spec.max_degree, dt)
-        else:
-            dst = sampling.cdf_sample_second_order(
-                g, cur_row, prev_row, fprev, u, spec.p, spec.q,
-                spec.max_degree, spec.n_search_iters, dt)
-    else:
-        draw = sampling.round_uniforms(step_key, W_total)
-        if first:
-            u_pos, u_keep, _ = (gather(u) for u in draw(0))
-            dst = sampling.alias_draw(g, cur_row, u_pos, u_keep)
-        else:
-            dst = sampling.rejection_sample(
-                g, cur_row, prev_row, fprev, can, draw, spec.p, spec.q,
-                spec.n_search_iters, spec.max_rounds, gather=gather,
-                k_candidates=spec.k_candidates)
-    dst = jnp.where(can, dst, -1)
-
-    # ---- reply: inverse all-to-all back into the sender's bucket layout ----
-    back = a2a(dst.reshape(S, C))
-    flat_slot = jnp.where(s_sent, s_slot, W_s).reshape(-1)  # W_s = dropped
-    new_dst = jnp.full((W_s,), -1, jnp.int32).at[flat_slot].set(
-        back.reshape(-1), mode="drop")
-    return new_dst
-
-
-@partial(jax.jit, static_argnames=("spec", "S", "mesh"))
-def distributed_walk_once(arrays, route, starts_pad, key, spec: WalkSpec,
-                          S: int, mesh: Mesh) -> jax.Array:
-    """One walk per (padded) start vertex across S shards -> [W_pad, L+2] (-1 pad).
     `arrays` = stacked ShardedGraphHost arrays already as jnp; starts_pad length is a
-    multiple of S; padded entries must carry start -1 (never sampled, all-(-1) rows)."""
+    multiple of S; padded entries must carry start -1 (never sampled, all-(-1) rows).
+    C = per-destination bucket capacity of the boundary all-to-all (static).
+    """
     W_pad = starts_pad.shape[0]
-    W_s = W_pad // S
+    R = num_walks
+    W_total = R * W_pad          # global walker count (uniform-stream length)
+    n = W_total // S             # walkers per shard
+    dt = jnp.dtype(spec.dtype)
+    L = spec.walk_length
 
     def shard_fn(offsets, cols, weights, aprob, apos, hoff, hmask, htab,
-                 glob2loc, route, starts_s):
+                 glob2loc, route, starts_s, key, round_offset):
         g = DeviceGraph(offsets=offsets[0].astype(jnp.int32), cols=cols[0],
                         weights=weights[0], alias_prob=aprob[0], alias_pos=apos[0],
                         hash_offsets=hoff[0], hash_mask=hmask[0], hash_table=htab[0])
         g2l = glob2loc[0]
         my = jax.lax.axis_index(AXIS).astype(jnp.int32)
-        starts_l = starts_s
-        gids = my * W_s + jnp.arange(W_s, dtype=jnp.int32)
+        # shard s owns global walker ids [s*n, (s+1)*n); walker (round r, start w)
+        # has gid r*W_pad + w — the index into the per-round uniform streams
+        gids = my * n + jnp.arange(n, dtype=jnp.int32)
+        starts_l = jnp.tile(starts_s, R) if S == 1 else _shard_slice_of_tiled(
+            starts_s, gids, W_pad, S)
         real = starts_l >= 0
         start_rows = jnp.maximum(starts_l, 0)
+        slots = jnp.arange(n, dtype=jnp.int32)
 
-        first = _exchange_and_sample(
-            g, g2l, route, start_rows, start_rows, real, gids,
-            jax.random.fold_in(key, 0), spec, W_pad, S, first=True)
+        keys_r = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            round_offset + jnp.arange(R))
+
+        def step_keys(t):
+            return jax.vmap(lambda k: jax.random.fold_in(k, t))(keys_r)
+
+        def uniforms_full(t):
+            # [W_total] f: segment r is round r's per-walker stream (prefix property
+            # makes it bitwise equal to the single-chip engine's (W,) draws)
+            return jax.vmap(
+                lambda k: jax.random.uniform(k, (W_pad,), dtype=dt))(
+                    step_keys(t)).reshape(-1)
+
+        def sample_req(fcur, fprev, fgid, valid, t, first):
+            """Sample a transition for each request (global ids); -1 where
+            dead-end / invalid. Uniforms come from the gid-indexed streams so the
+            result is independent of where/when the request is served."""
+            fgid_c = jnp.clip(fgid, 0, W_total - 1)
+            cur_row = jnp.maximum(g2l[fcur], 0)
+            prev_row = jnp.maximum(g2l[fprev], 0)
+            deg = (g.offsets[cur_row + 1] - g.offsets[cur_row]).astype(jnp.int32)
+            can = valid & (deg > 0)
+            gather = lambda u: u[fgid_c]
+            if spec.sampler == "cdf":
+                u = gather(uniforms_full(t))
+                if first:
+                    dst = sampling.cdf_sample_first_order(
+                        g, cur_row, u, spec.max_degree, dt)
+                else:
+                    dst = sampling.cdf_sample_second_order(
+                        g, cur_row, prev_row, fprev, u, spec.p, spec.q,
+                        spec.max_degree, spec.n_search_iters, dt)
+            else:
+                draw = sampling.round_uniforms_batched(step_keys(t), W_pad)
+                if first:
+                    u_pos, u_keep, _ = (gather(u) for u in draw(0))
+                    dst = sampling.alias_draw(g, cur_row, u_pos, u_keep)
+                else:
+                    dst = sampling.rejection_sample(
+                        g, cur_row, prev_row, fprev, can, draw, spec.p, spec.q,
+                        spec.n_search_iters, spec.max_rounds, gather=gather,
+                        k_candidates=spec.k_candidates)
+            return jnp.where(can, dst, -1)
+
+        a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=True)
+
+        def advance(cur, prev, alive, t, first):
+            """One superstep: local fast path + bounded boundary exchange.
+            Returns (dst i32[n] (-1 dead/inactive), diag (crossings, dead, rounds))."""
+            dest = jnp.where(alive, route[cur], my)
+            is_local = dest == my
+            dst = sample_req(cur, prev, gids, alive & is_local, t, first)
+            remaining = alive & ~is_local
+            crossings = jax.lax.psum(jnp.sum(remaining, dtype=jnp.int32), AXIS)
+
+            def cond(carry):
+                return carry[3] > 0
+
+            def xbody(carry):
+                rem, dst, rounds, _ = carry
+                dest_m = jnp.where(rem, dest, S)  # S = out of range -> dropped
+                order = jnp.argsort(dest_m, stable=True)
+                sd = dest_m[order]
+                counts = jnp.zeros((S,), jnp.int32).at[dest_m].add(
+                    1, mode="drop")
+                bstart = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+                rank = slots - bstart[jnp.clip(sd, 0, S - 1)]
+                sent = jnp.zeros((n,), bool).at[order].set(
+                    (sd < S) & (rank < C))
+
+                def put(field, fill):
+                    buf = jnp.full((S, C), fill, field.dtype)
+                    return buf.at[sd, rank].set(field[order], mode="drop")
+
+                s_cur = put(cur, 0)
+                s_prev = put(prev, 0)
+                s_gid = put(gids, -1)
+                s_slot = put(slots, n)
+                r_cur, r_prev, r_gid = a2a(s_cur), a2a(s_prev), a2a(s_gid)
+                fgid = r_gid.reshape(-1)
+                dst_r = sample_req(r_cur.reshape(-1), r_prev.reshape(-1),
+                                   fgid, fgid >= 0, t, first)
+                back = a2a(dst_r.reshape(S, C))
+                dst = dst.at[s_slot.reshape(-1)].set(
+                    back.reshape(-1), mode="drop")
+                rem = rem & ~sent
+                g_rem = jax.lax.psum(jnp.sum(rem, dtype=jnp.int32), AXIS)
+                return rem, dst, rounds + jnp.int32(1), g_rem
+
+            _, dst, rounds, _ = jax.lax.while_loop(
+                cond, xbody, (remaining, dst, jnp.int32(0), crossings))
+            dead = jax.lax.psum(
+                jnp.sum(alive & (dst < 0), dtype=jnp.int32), AXIS)
+            return dst, jnp.stack([crossings, dead, rounds])
+
+        first, diag0 = advance(start_rows, start_rows, real, 0, first=True)
         alive0 = real & (first >= 0)
 
         def body(carry, t):
             cur, prev, alive = carry
-            dst = _exchange_and_sample(
-                g, g2l, route, cur, prev, alive, gids,
-                jax.random.fold_in(key, t), spec, W_pad, S, first=False)
+            dst, d = advance(cur, prev, alive, t, first=False)
             alive_next = alive & (dst >= 0)
             out = jnp.where(alive_next, dst, -1)
             new_cur = jnp.where(alive_next, dst, cur)
             new_prev = jnp.where(alive_next, cur, prev)
-            return (new_cur, new_prev, alive_next), out
+            return (new_cur, new_prev, alive_next), (out, d)
 
         cur0 = jnp.where(alive0, first, start_rows)
-        (_, _, _), steps = jax.lax.scan(
-            body, (cur0, start_rows, alive0),
-            jnp.arange(1, spec.walk_length + 1))
+        (_, _, _), (steps, diags) = jax.lax.scan(
+            body, (cur0, start_rows, alive0), jnp.arange(1, L + 1))
         paths = jnp.concatenate(
             [jnp.where(real, starts_l, -1)[:, None],
              jnp.where(alive0, first, -1)[:, None],
              steps.T.astype(jnp.int32)], axis=1)
-        return paths
+        diag = jnp.concatenate([diag0[None, :], diags], axis=0)
+        return paths, diag
 
-    sharded = P(AXIS, *([None] * 1))
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
                   P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                  P(AXIS, None), P(None), P(AXIS)),
-        out_specs=P(AXIS, None))
-    return fn(*arrays, route, starts_pad)
+                  P(AXIS, None), P(None), P(AXIS), P(None), P()),
+        out_specs=(P(AXIS, None), P(None, None)))
+    return fn(*arrays, route, starts_pad, key, round_offset)
+
+
+def _shard_slice_of_tiled(starts_s, gids, W_pad: int, S: int):
+    """starts for my gid range of the R-times-tiled global start array.
+
+    The global walker order is gid = r*W_pad + w; shard s holds a contiguous gid
+    slice, which maps back to start index gid % W_pad. starts_s is only my W_pad/S
+    slice of the starts array, so fetch the full array via the replicated axis:
+    all shards hold identical tiles after an all_gather (cheap: starts are i32[W_pad]
+    once per corpus, not per step).
+    """
+    starts_full = jax.lax.all_gather(starts_s, AXIS, tiled=True)  # [W_pad]
+    return starts_full[gids % W_pad]
 
 
 def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
@@ -196,6 +263,44 @@ def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
     return arrays, route
 
 
+def auto_capacity(graph: CSRGraph, route: np.ndarray, S: int, n: int,
+                  headroom: float = 1.5, floor: int = 32) -> int:
+    """Per-destination bucket capacity from the graph's measured boundary-arc
+    fraction: expected boundary walkers per shard ~= n * cross_frac, spread over
+    S-1 destinations; headroom + overflow rounds absorb power-law skew."""
+    E = graph.num_edges
+    if E == 0 or S <= 1:
+        return 1
+    deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
+    src_route = np.repeat(route, deg)
+    cross_frac = float((src_route != route[graph.cols]).mean())
+    per_bucket = cross_frac * n / max(S - 1, 1)
+    return int(np.clip(math.ceil(headroom * per_bucket), floor, n))
+
+
+def log_shard_stats(hsg: ShardedGraphHost) -> None:
+    """Per-shard replica/edge distributions — the reference's executor-side
+    accumulator stats (UniformRandomWalk.scala:48-79, GraphMap.scala:70-77)."""
+    logger.info("graph sharded: S=%d, replication factor=%.3f",
+                hsg.num_shards, hsg.replication_factor)
+    for s in range(hsg.num_shards):
+        edges = int(hsg.offsets[s, hsg.num_local[s]])
+        logger.info("shard %d: owned=%d local=%d (halo=%d) edges=%d",
+                    s, int(hsg.num_owned[s]), int(hsg.num_local[s]),
+                    int(hsg.num_local[s] - hsg.num_owned[s]), edges)
+
+
+def log_superstep_diag(diag: np.ndarray) -> None:
+    """Per-superstep boundary/dead-end/overflow counters — the reference prints
+    unfinished-walker counts and its Wrong Transports / Zero Neighbors accumulators
+    every superstep (RandomWalk.scala:150-160)."""
+    for t, (crossings, dead, rounds) in enumerate(np.asarray(diag)):
+        logger.info(
+            "superstep %d: boundary walkers=%d, zero neighbors=%d, "
+            "exchange rounds=%d%s", t, crossings, dead, rounds,
+            " (overflow)" if rounds > 1 else "")
+
+
 def distributed_random_walks(
     graph: CSRGraph,
     walk_length: int,
@@ -208,12 +313,24 @@ def distributed_random_walks(
     num_shards: int | None = None,
     route: np.ndarray | None = None,
     starts: np.ndarray | None = None,
-) -> np.ndarray:
+    capacity: int | None = None,
+    verbose: bool = False,
+    return_stats: bool = False,
+):
     """Sharded corpus generation mirroring engine.random_walks — bitwise identical
-    results for any shard count (same counter-based streams)."""
+    results for any shard count / route / exchange capacity (same counter-based
+    streams). One device dispatch for ALL rounds.
+
+    route: explicit vertex->shard map (the VCut policy, reference
+    VCutRandomWalk.scala:92-134); None = hash policy dense_id % S (reference
+    RandomWalk.scala:16). capacity: boundary all-to-all bucket size; None = auto
+    from the measured boundary-arc fraction.
+    """
     mesh = make_mesh(num_shards)
     S = mesh.devices.size
     hsg = partition_graph(graph, S, route)
+    if verbose:
+        log_shard_stats(hsg)
     arrays, route_dev = device_put_sharded_graph(hsg, mesh)
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
@@ -221,6 +338,9 @@ def distributed_random_walks(
     W_pad = -(-W // S) * S
     starts_pad = np.full(W_pad, -1, dtype=np.int32)
     starts_pad[:W] = starts
+    n = num_walks * W_pad // S
+    C = capacity if capacity is not None else auto_capacity(graph, hsg.route, S, n)
+    C = max(1, min(C, n))
     spec = WalkSpec(
         walk_length=walk_length, p=float(p), q=float(q), sampler=sampler,
         max_degree=max(graph.max_degree, 1),
@@ -229,14 +349,23 @@ def distributed_random_walks(
     )
     starts_dev = jax.device_put(
         jnp.asarray(starts_pad), jax.sharding.NamedSharding(mesh, P(AXIS)))
-    base = jax.random.PRNGKey(seed)
-    # pre-fold round keys: eager fold_in between async dispatches stalls tunneled
-    # PJRT transports (see ops/sampling.HASH_MULT note)
-    keys = [jax.random.fold_in(base, r) for r in range(num_walks)]
-    jax.block_until_ready(keys)
-    rounds = []
-    for r in range(num_walks):
-        paths = distributed_walk_once(
-            arrays, route_dev, starts_dev, keys[r], spec, S, mesh)
-        rounds.append(np.asarray(paths)[:W])
-    return np.concatenate(rounds, axis=0)
+    key = jax.random.PRNGKey(seed)
+    paths, diag = distributed_walk_corpus(
+        arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C, mesh)
+    walks = np.asarray(paths).reshape(num_walks, W_pad, -1)[:, :W].reshape(
+        num_walks * W, -1)
+    diag = np.asarray(diag)
+    if verbose:
+        log_superstep_diag(diag)
+    if return_stats:
+        stats = {
+            "num_shards": S,
+            "capacity": C,
+            "replication_factor": hsg.replication_factor,
+            "boundary_walkers": int(diag[:, 0].sum()),
+            "zero_neighbors": int(diag[:, 1].sum()),
+            "overflow_steps": int((diag[:, 2] > 1).sum()),
+            "diag": diag,
+        }
+        return walks, stats
+    return walks

@@ -50,6 +50,9 @@ class Params:
     cmd: TaskName = TaskName.node2vec
 
     # --- TPU-framework extensions (not in the reference flag set) ---
+    shards: int = 0               # graph shards / devices for the walk engine;
+    #                               0 = auto: 1, unless --partitioned true, then
+    #                               min(devices, rddPartitions)
     seed: int = 0
     sampler: str = "rejection"  # "rejection" (alias+accept, prod) | "cdf" (exact inverse-CDF)
     w2v_negatives: int = 5
@@ -101,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dim", type=int, default=d.w2v_dim, help=f"Number of dimensions in word2vec: {d.w2v_dim}")
     ap.add_argument("--window", type=int, default=d.w2v_window, help=f"Window size in word2vec: {d.w2v_window}")
     # extensions
+    ap.add_argument("--shards", type=int, default=d.shards,
+                    help="graph shards (devices) for the walk engine; 0 = auto "
+                         "(1 unless --partitioned true, then min(devices, "
+                         "rddPartitions)); >1 runs the sharded shard_map engine")
     ap.add_argument("--seed", type=int, default=d.seed, help="PRNG seed (counter-based keys)")
     ap.add_argument("--sampler", choices=["rejection", "cdf"], default=d.sampler,
                     help="transition sampler: rejection (alias+accept) or cdf (exact inverse-CDF)")
@@ -127,7 +134,8 @@ def parse(argv: list[str]) -> Params | None:
         num_walks=ns.numWalks, p=ns.p, q=ns.q, weighted=ns.weighted,
         directed=ns.directed, input=ns.input, output=ns.output,
         rdd_partitions=ns.rddPartitions, single_output=ns.singleOutput,
-        partitioned=ns.partitioned, cmd=TaskName(ns.cmd), seed=ns.seed,
+        partitioned=ns.partitioned, cmd=TaskName(ns.cmd), shards=ns.shards,
+        seed=ns.seed,
         sampler=ns.sampler, w2v_negatives=ns.negatives,
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
         shared_negatives=ns.sharedNegatives,

@@ -83,6 +83,47 @@ def test_embedding_cmd(tmp_path, karate_path):
     assert len(vec_lines) == 34
 
 
+def test_sharded_cli_matches_single_chip(tmp_path, karate_path):
+    """--shards > 1 runs the shard_map engine from the CLI and the written corpus
+    is bitwise identical to the single-chip run (reference dispatches across
+    rddPartitions in every run, RandomWalk.scala:186-192)."""
+    args = ["--cmd", "randomwalk", "--input", karate_path,
+            "--walkLength", "6", "--numWalks", "2", "--weighted", "false"]
+    out1, out4 = tmp_path / "s1", tmp_path / "s4"
+    cli.run_job(config.parse(args + ["--output", str(out1), "--shards", "1"]))
+    cli.run_job(config.parse(args + ["--output", str(out4), "--shards", "4"]))
+    a = open(out1 / "path" / "part-00000").read()
+    b = open(out4 / "path" / "part-00000").read()
+    assert a == b
+
+
+def test_partitioned_cli_uses_vcut_home_routing(tmp_path, karate_path):
+    """--partitioned true loads the explicit partition column, routes walkers by
+    their home partition (reference VCutRandomWalk.scala:92-134), and still
+    produces the single-chip corpus bitwise (routing never changes the walks)."""
+    # karate with an explicit partition id column: pid = src % 3
+    part_file = tmp_path / "karate_part.txt"
+    with open(karate_path) as f, open(part_file, "w") as g:
+        for line in f:
+            toks = line.split()
+            if len(toks) >= 2:
+                g.write(f"{toks[0]} {toks[1]} {int(toks[0]) % 3}\n")
+    base = ["--cmd", "randomwalk", "--walkLength", "5", "--numWalks", "1",
+            "--weighted", "false", "--seed", "9"]
+    out_u = tmp_path / "uni"
+    out_p = tmp_path / "part"
+    cli.run_job(config.parse(
+        base + ["--input", karate_path, "--output", str(out_u)]))
+    # partitioned + rddPartitions=3 -> auto shards = min(devices, 3) = 3
+    p = config.parse(base + ["--input", str(part_file), "--output", str(out_p),
+                             "--partitioned", "true", "--rddPartitions", "3"])
+    assert n2v.num_walk_shards(p) == 3
+    cli.run_job(p)
+    a = open(out_u / "path" / "part-00000").read()
+    b = open(out_p / "path" / "part-00000").read()
+    assert a == b
+
+
 def test_multi_file_output(tmp_path, karate_path):
     p = config.parse([
         "--cmd", "randomwalk", "--input", karate_path, "--output", str(tmp_path),

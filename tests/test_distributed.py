@@ -80,6 +80,52 @@ def test_distributed_shard_count_invariance(karate_path):
     np.testing.assert_array_equal(w2, w8)
 
 
+def test_bounded_exchange_overflow_identical(karate_path):
+    """A tiny all-to-all capacity forces multi-round (overflow) exchanges; the
+    corpus must be bitwise identical regardless (SURVEY.md §7 hard-part 3: the
+    bounded exchange only changes WHEN a request is served, never its uniforms)."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    kw = dict(walk_length=10, num_walks=2, seed=7, sampler="rejection")
+    single = engine.random_walks(g, **kw)
+    multi, stats = distributed.distributed_random_walks(
+        g, num_shards=8, capacity=1, return_stats=True, **kw)
+    np.testing.assert_array_equal(single, multi)
+    # with C=1 and ~34*2/8 walkers per shard mostly crossing (hash route), some
+    # supersteps MUST take >1 exchange round — otherwise the cap wasn't binding
+    assert stats["overflow_steps"] > 0, stats
+    assert stats["capacity"] == 1
+
+
+def test_superstep_diagnostics(karate_path):
+    """Per-superstep psum'd counters: boundary walkers + zero neighbors (the
+    reference's per-superstep prints, RandomWalk.scala:150-160)."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks, stats = distributed.distributed_random_walks(
+        g, walk_length=6, num_walks=1, seed=3, num_shards=4, return_stats=True)
+    diag = stats["diag"]
+    assert diag.shape == (7, 3)  # walk_length + 1 supersteps (first-order + L)
+    # karate has no dead ends (connected, undirected)
+    assert stats["zero_neighbors"] == 0
+    # hash routing on karate: most transitions cross shards
+    assert stats["boundary_walkers"] > 0
+    # diag boundary counts must equal a host-side recount from the corpus: a
+    # request at superstep t is remote iff route[cur_t] differs from the shard
+    # HOSTING the walker (walkers are hosted by contiguous gid slice, gid // n)
+    from stellar_rw_tpu.graph.partition import partition_graph
+    route = partition_graph(g, 4).route
+    S, W = 4, g.num_vertices
+    W_pad = -(-W // S) * S
+    n = 1 * W_pad // S                      # num_walks=1
+    host_shard = (np.arange(W) // n).astype(np.int32)   # gid = w for round 0
+    # walker samples at superstep t (t = 0..L) iff it was alive: for t=0 always
+    # (real start), for t>=1 iff walks[:, t] >= 0 (it arrived somewhere at t)
+    cur = walks[:, :-1]                     # position when sampling superstep t
+    alive = cur >= 0
+    remote = alive & (route[np.maximum(cur, 0)] != host_shard[:, None])
+    assert stats["boundary_walkers"] == int(remote.sum()), (
+        stats["boundary_walkers"], int(remote.sum()))
+
+
 def test_distributed_dead_ends(testgraph_path):
     g = io.load_edge_list(testgraph_path, weighted=False, directed=True)
     idx = {int(o): i for i, o in enumerate(g.ids)}
