@@ -80,12 +80,20 @@ def run_job(params: Params) -> str:
 
 
 def main(argv: list[str] | None = None) -> int:
-    logging.basicConfig(level=logging.INFO)
     params = parse(sys.argv[1:] if argv is None else argv)
     if params is None:
         return 1
+    # console + optional rolling-file logging (the reference's log4j appenders,
+    # src/main/resources/log4j.properties; SURVEY.md §5.5)
+    from .utils.logging import configure
+    configure(params.log_dir)
     print(params)
-    run_job(params)
+    if params.profile_dir:
+        import jax
+        with jax.profiler.trace(params.profile_dir):
+            run_job(params)
+    else:
+        run_job(params)
     return 0
 
 

@@ -83,6 +83,7 @@ def sgns_config(params: Params) -> w2v.SGNSConfig:
         iters=params.w2v_iter,
         seed=params.seed,
         shared_negatives=params.shared_negatives,
+        model_shards=params.w2v_model_shards,
     )
 
 

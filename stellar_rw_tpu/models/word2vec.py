@@ -44,6 +44,11 @@ class SGNSConfig:
     power: float = 0.75      # unigram smoothing for negative table
     shared_negatives: int = 0  # >0: kB block-shared negatives (MXU path, see below)
     use_pallas: bool | None = None  # fused shared-neg kernel; None = auto (TPU only)
+    model_shards: int = 1    # >1: shard embedding tables over the embedding dim
+    #                          (column parallelism: each device stores [V, D/mp],
+    #                          gathers/scatters stay local, only the [pairs, 1+k]
+    #                          logits cross devices via psum — the TPU-idiomatic
+    #                          "sharded embedding table" of SURVEY.md §2.3-5)
 
 
 def _init_embeddings(vocab: int, dim: int, key) -> tuple[jax.Array, jax.Array]:
@@ -88,7 +93,8 @@ def _draw_negatives(key, shape, neg_keep: jax.Array, neg_alias: jax.Array):
     return jnp.where(u2 < neg_keep[j], j, neg_alias[j])
 
 
-def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None):
+def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None,
+                dim_axis=None):
     """One mini-batch of SGNS SGD with manual gradients and scatter-MEAN updates.
 
     P pairs, k negatives: targets = [context | negs], labels = [1 | 0...]. Invalid
@@ -97,6 +103,10 @@ def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None)
     vertex collides thousands of times per batch (each row moves by ≈ one sequential
     SGD step per batch, which is also closer to MLlib's per-sentence sequential
     updates than a summed mega-batch would be).
+
+    dim_axis: mesh axis the embedding DIM is sharded over (w_in/w_out are local
+    [V, D/mp] slices). Dots become partial sums merged with one tiny psum; every
+    gather, gradient, and scatter stays local to the dim slice.
     """
     P = centers.shape[0]
     k = negs.shape[1]
@@ -105,6 +115,8 @@ def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None)
     vi = w_in[c]                                   # [P, D]
     vo = w_out[targets]                            # [P, 1+k, D]
     logits = jnp.einsum("pd,pkd->pk", vi, vo)
+    if dim_axis is not None:
+        logits = jax.lax.psum(logits, dim_axis)
     labels = jnp.concatenate(
         [jnp.ones((P, 1), jnp.float32), jnp.zeros((P, k), jnp.float32)], axis=1)
     g = (jax.nn.sigmoid(logits) - labels) * valid[:, None]        # [P, 1+k]
@@ -141,7 +153,8 @@ def _sgns_apply(w_in, w_out, centers, contexts, valid, negs, lr, axis_name=None)
 
 
 def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
-                       neg_weight: float, axis_name=None, use_pallas: bool = False):
+                       neg_weight: float, axis_name=None, dim_axis=None,
+                       use_pallas: bool = False):
     """SGNS step with BLOCK-SHARED negatives — the MXU formulation.
 
     Instead of k private negatives per pair (P·k embedding gathers + elementwise
@@ -161,14 +174,19 @@ def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
     vo = w_out[x]                                  # [P, D]
     wn = w_out[negs]                               # [kB, D]
     pos = jnp.sum(vi * vo, axis=-1)                # [P]
+    if dim_axis is not None:
+        pos = jax.lax.psum(pos, dim_axis)
     g_pos = (jax.nn.sigmoid(pos) - 1.0) * vf                     # [P]
-    if use_pallas:
+    if use_pallas and dim_axis is None:
         # fused Pallas kernel: the [P, kB] negative-logit tile and all three
-        # gradient matmuls stay in VMEM (ops/pallas/sgns.py)
+        # gradient matmuls stay in VMEM (ops/pallas/sgns.py). (With dim sharding
+        # the sigmoid sits between two collectives, so the unfused path is used.)
         from ..ops.pallas.sgns import sgns_shared_grads
         d_vi, d_vo, d_wn = sgns_shared_grads(vi, vo, wn, g_pos, vf * neg_weight)
     else:
         neg = jnp.dot(vi, wn.T, preferred_element_type=jnp.float32)  # [P, kB] (MXU)
+        if dim_axis is not None:
+            neg = jax.lax.psum(neg, dim_axis)
         g_neg = jax.nn.sigmoid(neg) * (vf * neg_weight)[:, None]     # [P, kB]
         d_vi = g_pos[:, None] * vo + jnp.dot(
             g_neg, wn, preferred_element_type=jnp.float32)           # [P, D] (MXU)
@@ -201,12 +219,13 @@ def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
 
 
 @partial(jax.jit,
-         static_argnames=("window", "negatives", "axis_name", "shared_negatives",
-                          "use_pallas"),
+         static_argnames=("window", "negatives", "axis_name", "dim_axis",
+                          "shared_negatives", "use_pallas"),
          donate_argnums=(0, 1))
 def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
                  lr_start, lr_end, window: int, negatives: int, axis_name=None,
-                 shared_negatives: int = 0, use_pallas: bool = False):
+                 dim_axis=None, shared_negatives: int = 0,
+                 use_pallas: bool = False):
     """One epoch over the full corpus: scan over row blocks (corpus pre-padded to a
     multiple of the block size with -1 rows)."""
     n_blocks, B, T = corpus.shape
@@ -224,12 +243,12 @@ def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
             w_in, w_out = _sgns_apply_shared(
                 w_in, w_out, centers, contexts, valid, negs, lr,
                 neg_weight=negatives / shared_negatives, axis_name=axis_name,
-                use_pallas=use_pallas)
+                dim_axis=dim_axis, use_pallas=use_pallas)
         else:
             negs = _draw_negatives(jax.random.fold_in(kb, 2),
                                    (centers.shape[0], negatives), neg_keep, neg_alias)
             w_in, w_out = _sgns_apply(w_in, w_out, centers, contexts, valid, negs,
-                                      lr, axis_name=axis_name)
+                                      lr, axis_name=axis_name, dim_axis=dim_axis)
         return (w_in, w_out), None
 
     (w_in, w_out), _ = jax.lax.scan(
@@ -255,6 +274,15 @@ def train_skipgram(
     (MLlib trains numPartitions shards and averages parameters per iteration,
     Main.scala:93 — which measurably degrades embedding quality; synchronous
     merging keeps quality at the single-partition level while scaling).
+
+    cfg.model_shards > 1 additionally shards BOTH embedding tables over the
+    embedding dimension across a second mesh axis (column parallelism): each
+    device persistently stores [vocab, dim/mp], all gathers/scatter-updates are
+    local to the slice, and only the tiny [pairs, 1+k] logit partial sums cross
+    devices (one psum). Total devices used = num_partitions * model_shards.
+    This is the sharded-embedding-table requirement of SURVEY.md §2.3-5 /
+    BASELINE.json ("in-HBM embedding table sharding") — a ≥1B-edge vocabulary's
+    tables no longer need to fit a single chip.
     """
     N, T = corpus.shape
     if counts is None:
@@ -285,7 +313,8 @@ def train_skipgram(
     lr_lo = cfg.lr * cfg.min_lr_frac
     use_pallas = (jax.default_backend() == "tpu"
                   if cfg.use_pallas is None else cfg.use_pallas)
-    if P == 1:
+    MP = max(1, cfg.model_shards)
+    if P == 1 and MP == 1:
         corpus_dev = jnp.asarray(padded.reshape(n_blocks, B, T))
         epoch = lambda w_in, w_out, k, ls, le: _train_epoch(
             w_in, w_out, corpus_dev, nk, na, k, ls, le, cfg.window, cfg.negatives,
@@ -293,28 +322,38 @@ def train_skipgram(
     else:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 
-        assert len(jax.devices()) >= P, \
-            f"w2vPartitions={P} needs {P} devices, have {len(jax.devices())}"
-        mesh = Mesh(np.array(jax.devices()[:P]), ("dp",))
-        # shard rows round-robin so every partition sees a similar slice of the corpus
+        need = P * MP
+        assert len(jax.devices()) >= need, \
+            f"w2vPartitions={P} x model_shards={MP} needs {need} devices, " \
+            f"have {len(jax.devices())}"
+        assert cfg.dim % MP == 0, f"dim={cfg.dim} not divisible by model_shards={MP}"
+        mesh = Mesh(np.array(jax.devices()[:need]).reshape(P, MP), ("dp", "mp"))
+        # corpus rows sharded over dp; embedding tables sharded over the dim axis
         corpus_dev = jax.device_put(
             jnp.asarray(padded.reshape(P, n_blocks, B, T)),
             NamedSharding(mesh, PS("dp")))
+        table_sharding = NamedSharding(mesh, PS(None, "mp"))
+        w_in = jax.device_put(w_in, table_sharding)
+        w_out = jax.device_put(w_out, table_sharding)
 
         def dp_epoch(w_in, w_out, corpus_l, k, ls, le):
-            # params stay replicated (invariant): each block's gradients are
-            # psum-merged inside _sgns_apply before every replica applies the
-            # identical update
+            # dp: per-block gradients psum-merged so every dp replica applies the
+            # identical update; mp: tables are local [V, D/MP] slices, pair/negative
+            # keys fold by the dp index ONLY so all mp shards of a dp row see the
+            # same pairs and jointly compute each dot product
             my = jax.lax.axis_index("dp")
             return _train_epoch(
                 w_in, w_out, corpus_l[0], nk, na, jax.random.fold_in(k, my),
-                ls, le, cfg.window, cfg.negatives, axis_name="dp",
-                shared_negatives=cfg.shared_negatives, use_pallas=use_pallas)
+                ls, le, cfg.window, cfg.negatives,
+                axis_name="dp" if P > 1 else None,
+                dim_axis="mp" if MP > 1 else None,
+                shared_negatives=cfg.shared_negatives,
+                use_pallas=use_pallas and MP == 1)
 
         sm = jax.shard_map(
             dp_epoch, mesh=mesh,
-            in_specs=(PS(), PS(), PS("dp"), PS(), PS(), PS()),
-            out_specs=(PS(), PS()))
+            in_specs=(PS(None, "mp"), PS(None, "mp"), PS("dp"), PS(), PS(), PS()),
+            out_specs=(PS(None, "mp"), PS(None, "mp")))
         epoch = lambda w_in, w_out, k, ls, le: sm(
             w_in, w_out, corpus_dev, k, ls, le)
 

@@ -59,6 +59,12 @@ class Params:
     resume: bool = False          # resume skip-gram training from <output>/bin checkpoint
     checkpoint_every: int = 0     # save a trainer checkpoint every N epochs (0 = off)
     shared_negatives: int = 0     # >0: block-shared negatives (MXU/Pallas skip-gram path)
+    w2v_model_shards: int = 1     # >1: shard embedding tables over the embedding dim
+    #                               across devices (column parallelism); total devices
+    #                               used by the trainer = w2vPartitions * this
+    log_dir: str | None = None    # also log to a midnight-rolling file here
+    #                               (the reference's log4j rolling appender analog)
+    profile_dir: str | None = None  # capture a jax.profiler trace of the run here
 
     def __str__(self) -> str:  # reference AbstractParams.scala:39-52 pretty-print
         d = dataclasses.asdict(self)
@@ -119,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sharedNegatives", type=int, default=d.shared_negatives,
                     help="block-shared negatives kB for the MXU/Pallas skip-gram "
                          "path (0 = per-pair negatives)")
+    ap.add_argument("--w2vModelShards", type=int, default=d.w2v_model_shards,
+                    help="shard word2vec embedding tables over the embedding dim "
+                         "across this many devices (1 = replicated tables)")
+    ap.add_argument("--logDir", default=d.log_dir,
+                    help="also write logs to a midnight-rolling file in this dir")
+    ap.add_argument("--profile", default=d.profile_dir, dest="profile",
+                    help="capture a jax.profiler trace of the pipeline to this dir")
     return ap
 
 
@@ -138,7 +151,8 @@ def parse(argv: list[str]) -> Params | None:
         seed=ns.seed,
         sampler=ns.sampler, w2v_negatives=ns.negatives,
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
-        shared_negatives=ns.sharedNegatives,
+        shared_negatives=ns.sharedNegatives, w2v_model_shards=ns.w2vModelShards,
+        log_dir=ns.logDir, profile_dir=ns.profile,
     )
 
 
