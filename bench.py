@@ -1,12 +1,29 @@
-"""Headline benchmark: node2vec walk throughput on one TPU chip.
+"""Headline benchmark: node2vec walk throughput on one TPU chip — provably real.
 
 Prints ONE JSON line:
   {"metric": "walk_steps_per_s_per_chip", "value": N, "unit": "steps/s",
    "vs_baseline": R, ...extras}
 
-Workload: BlogCatalog-shaped synthetic power-law graph (10K vertices, ~334K arcs),
-full second-order node2vec with p=q=0.25 (BASELINE.json configs[1]), rejection
-sampler, walk_length=80, one walker per vertex per round.
+Credibility measures (round-1 verdict item 1):
+  * every round's corpus is folded into an i64 checksum INSIDE the walk dispatch;
+    the pipelined measurement blocks on (and host-materializes) the accumulated
+    checksum inside the timed region, so no dispatch can be dropped or unserialized
+    without changing the printed checksum;
+  * per-round BLOCKED wall times (host sync every round) are reported next to the
+    pipelined number; the pipelined claim is capped by the blocked evidence;
+  * a bytes-moved speed-of-light table is printed: estimated random-gather traffic
+    per walk step vs the chip's HBM bandwidth, plus whether the graph tables fit
+    plausibly in VMEM (in which case the HBM bound is not binding).
+
+Workloads:
+  * BlogCatalog-shaped synthetic power-law graph (10K V, ~668K arcs), full
+    second-order node2vec p=q=0.25 (BASELINE.json configs[1]), rejection sampler,
+    walk_length=80, one walker per vertex per round.
+  * HBM-regime: 1M V / ~32M arcs (tables >> VMEM; the LiveJournal-scale access
+    pattern, BASELINE.json configs[3]).
+  * skip-gram samples/s (exact and block-shared-negative MXU paths).
+  * edges/s device-count scaling on the virtual CPU mesh (2 physical cores — a
+    correctness/overhead simulation, NOT a hardware scaling claim).
 
 vs_baseline: the driver-set target is 10x the walk-steps/s of a 16-core Spark host
 (BASELINE.json north_star). No Spark cluster exists in this image (2 vCPUs), so the
@@ -22,8 +39,15 @@ import os
 import subprocess
 import sys
 import time
+from functools import partial
 
 import numpy as np
+
+VMEM_BYTES = 16 * 2**20  # per-core VMEM (pallas guide: ~16 MB/core)
+
+# bytes/s of HBM per chip, by device_kind substring (public figures)
+HBM_BW = [("v6e", 1.64e12), ("v5p", 2.765e12), ("v5e", 8.19e11),
+          ("v5lite", 8.19e11), ("v4", 1.2288e12), ("cpu", 5.0e10)]
 
 
 def synth_power_law_graph(num_vertices: int, num_edges: int, seed: int = 0):
@@ -33,20 +57,40 @@ def synth_power_law_graph(num_vertices: int, num_edges: int, seed: int = 0):
     from stellar_rw_tpu.graph.csr import from_edge_arrays
 
     rng = np.random.default_rng(seed)
-    # Zipf-weighted endpoints -> heavy-tailed degrees
-    ranks = np.arange(1, num_vertices + 1, dtype=np.float64)
-    probs = ranks ** -0.7
-    probs /= probs.sum()
-    src = rng.choice(num_vertices, size=num_edges, p=probs)
-    dst = rng.choice(num_vertices, size=num_edges, p=probs)
+    # Zipf-weighted endpoints (p(r) ~ r^-0.7) via inverse-transform sampling:
+    # cdf(r) ~ r^0.3  =>  r = V * u^(1/0.3). O(E), no per-category table
+    # (Generator.choice with a multi-million-entry `p` is pathologically slow).
+    draw = lambda: np.minimum(
+        (num_vertices * rng.random(num_edges) ** (1 / 0.3)).astype(np.int64),
+        num_vertices - 1)
+    src = draw()
+    dst = draw()
     keep = src != dst
     return from_edge_arrays(src[keep], dst[keep], num_vertices=num_vertices,
                             symmetrize=True)
 
 
+def _hbm_bw() -> tuple[float, str]:
+    import jax
+    kind = getattr(jax.devices()[0], "device_kind", "") or "unknown"
+    for sub, bw in HBM_BW:
+        if sub in kind.lower():
+            return bw, kind
+    return 8.19e11, kind  # assume v5e-class if unrecognized
+
+
+def _graph_table_bytes(graph) -> int:
+    """Device-resident bytes of the walk tables (DeviceGraph arrays)."""
+    V, E = graph.num_vertices, graph.num_edges
+    graph.build_hash_tables()
+    H = len(graph.hash_table)
+    return 4 * ((V + 1) + E * 4 + V * 2 + H)
+
+
 def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
                             rounds=20, seed=0) -> dict:
     import jax
+    import jax.numpy as jnp
 
     from stellar_rw_tpu.ops import sampling
     from stellar_rw_tpu.walk import engine
@@ -57,72 +101,265 @@ def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
         max_degree=max(graph.max_degree, 1),
         n_search_iters=sampling.search_iters(graph.max_degree),
     )
-    starts = jax.numpy.arange(graph.num_vertices, dtype=jax.numpy.int32)
+    starts = jnp.arange(graph.num_vertices, dtype=jnp.int32)
     key = jax.random.PRNGKey(seed)
     # Pre-fold all round keys BEFORE the timed loop: interleaving eager scalar ops
     # with in-flight async executions measurably stalls tunneled PJRT transports
     # (~300x distortion observed), and key derivation is not part of the walk.
     keys = [jax.random.fold_in(key, r + 1) for r in range(rounds)]
     jax.block_until_ready(keys)
-    # warmup/compile
+
+    @partial(jax.jit, static_argnames=("spec",))
+    def walk_round(g, starts, key, acc, spec):
+        """One walk round whose ENTIRE corpus feeds the returned checksum — a
+        round cannot execute partially without changing the checksum."""
+        out = engine.walk_once(g, starts, key, spec)
+        w = jnp.arange(out.shape[1], dtype=jnp.int64) + 1
+        return acc + jnp.sum(out.astype(jnp.int64) * w[None, :])
+
+    zero = jnp.int64(0)
+    jax.block_until_ready(zero)
+    # warmup / compile
     t0 = time.time()
-    jax.block_until_ready(engine.walk_once(dg, starts, key, spec))
+    jax.block_until_ready(walk_round(dg, starts, keys[0], zero, spec))
     compile_s = time.time() - t0
-    t0 = time.time()
+
+    # A) blocked per-round: host-materialize each round's checksum
+    per_round = []
+    blocked_checks = []
     for r in range(rounds):
-        out = engine.walk_once(dg, starts, keys[r], spec)
-    jax.block_until_ready(out)
+        t0 = time.time()
+        blocked_checks.append(int(walk_round(dg, starts, keys[r], zero, spec)))
+        per_round.append(time.time() - t0)
+
+    # B) pipelined: all rounds in flight, single device-side checksum chain;
+    #    the host-materialization of the final checksum is INSIDE the timed region
+    t0 = time.time()
+    acc = zero
+    for r in range(rounds):
+        acc = walk_round(dg, starts, keys[r], acc, spec)
+    checksum = int(acc)  # blocks; consumes every round's corpus
     dt = time.time() - t0
-    steps = graph.num_vertices * (walk_length + 1) * rounds
-    return {"steps_per_s": steps / dt, "compile_s": compile_s, "run_s": dt,
-            "steps": steps}
+
+    # without x64 the device checksum wraps at 2^32 — compare modularly
+    assert checksum % (1 << 32) == sum(blocked_checks) % (1 << 32), \
+        "pipelined checksum mismatch"
+    steps_per_round = graph.num_vertices * (walk_length + 1)
+    steps = steps_per_round * rounds
+    pr = np.array(per_round)
+    return {
+        "steps_per_s_pipelined": steps / dt,
+        "steps_per_s_blocked": steps_per_round / float(np.median(pr)),
+        "per_round_ms": {"min": round(float(pr.min()) * 1e3, 2),
+                         "median": round(float(np.median(pr)) * 1e3, 2),
+                         "max": round(float(pr.max()) * 1e3, 2)},
+        "run_s": dt,
+        "compile_s": compile_s,
+        "steps": steps,
+        "checksum": f"{checksum & 0xFFFFFFFFFFFFFFFF:016x}",
+    }
 
 
-def _cpu_reference_steps_per_s() -> float:
-    """Same engine on the local 2-core XLA-CPU host, in a subprocess so the TPU
-    process env doesn't leak in."""
-    code = (
+def speed_of_light(graph, steps_per_s: float) -> dict:
+    """Random-gather traffic per walk step vs HBM bandwidth.
+
+    Rejection sampler per walker per step, best case (1 candidate):
+      hoisted row metadata: offsets[cur], offsets[cur+1], hash_offsets[prev],
+      hash_mask[prev]                                   -> 4 gathers = 16 B
+      per candidate: alias_prob, alias_pos, cols[base+pos], 4 hash-probe reads
+                                                         -> 7 gathers = 28 B
+    => >= 44 B of random HBM traffic per step (lower bound; more candidates and
+    the uniform-stream writes only add to it). If the whole table set fits in
+    VMEM, gathers may be served on-chip and the HBM bound is not binding.
+    """
+    bw, kind = _hbm_bw()
+    bytes_per_step = 44.0
+    implied = steps_per_s * bytes_per_step
+    tables = _graph_table_bytes(graph)
+    return {
+        "device_kind": kind,
+        "hbm_bytes_per_s": bw,
+        "est_min_bytes_per_step": bytes_per_step,
+        "implied_bytes_per_s": round(implied, 1),
+        "sol_ratio": round(implied / bw, 4),
+        "tables_bytes": tables,
+        "tables_fit_vmem": bool(tables <= VMEM_BYTES),
+        "note": ("sol_ratio must be <= ~1 unless tables_fit_vmem; "
+                 ">1 with HBM-resident tables means the number is implausible"),
+    }
+
+
+def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0) -> dict:
+    """Skip-gram samples/s (a 'sample' = one (center, target) dot-product+update,
+    i.e. pairs x (1 + negatives)), exact vs block-shared-negative paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from stellar_rw_tpu.models import word2vec as w2v
+
+    rng = np.random.default_rng(seed)
+    corpus = rng.integers(0, vocab, size=(n_walks, T)).astype(np.int32)
+    window, negs = 10, 5
+    # expected valid pairs: dynamic window c~U{1..w}; offset d valid iff |d|<=c and
+    # in bounds; count exactly on host for the denominator
+    counts = np.bincount(corpus[corpus >= 0], minlength=vocab).astype(np.float64)
+
+    out = {}
+    for label, shared in (("exact", 0), ("shared", 128)):
+        cfg = w2v.SGNSConfig(dim=128, window=window, negatives=negs, lr=0.025,
+                             iters=1, seed=seed, shared_negatives=shared)
+        # count pairs via the same enumerator (one jitted call)
+        c, x, v = w2v._pairs_for_block(
+            jnp.asarray(corpus), jax.random.PRNGKey(cfg.seed), window)
+        pairs = int(jnp.sum(v))
+        t0 = time.time()
+        w2v.train_skipgram(corpus, vocab, cfg)
+        warm = time.time() - t0
+        t0 = time.time()
+        w2v.train_skipgram(corpus, vocab, cfg)
+        dt = time.time() - t0
+        out[label] = {
+            "samples_per_s": round(pairs * (1 + negs) / dt, 1),
+            "pairs": pairs,
+            "epoch_s": round(dt, 3),
+            "first_call_s": round(warm, 3),
+        }
+    return out
+
+
+def _subprocess_json(code: str, timeout=1800):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    pre = (
         "import os,sys,json\n"
         "sys.path=[p for p in sys.path if '.axon_site' not in p]\n"
         "os.environ['JAX_PLATFORMS']='cpu'\n"
-        "sys.path.insert(0,%r)\n"
+        "sys.path.insert(0,%r)\n" % os.path.dirname(os.path.abspath(__file__))
+    )
+    out = subprocess.run([sys.executable, "-c", pre + code], capture_output=True,
+                         text=True, env=env, timeout=timeout)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        return None
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def cpu_reference_steps_per_s() -> float | None:
+    """Same engine on the local 2-core XLA-CPU host, in a subprocess so the TPU
+    process env doesn't leak in."""
+    r = _subprocess_json(
         "import bench\n"
         "g=bench.synth_power_law_graph(10000,334000)\n"
         "r=bench.measure_walk_throughput(g,rounds=1)\n"
-        "print(json.dumps(r['steps_per_s']))\n" % os.path.dirname(os.path.abspath(__file__))
-    )
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, env=env, timeout=1800)
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-2000:])
-        return float("nan")
-    return float(out.stdout.strip().splitlines()[-1])
+        "print(json.dumps(r['steps_per_s_pipelined']))\n")
+    return r
+
+
+def cpu_mesh_scaling() -> dict | None:
+    """edges/s (walk transitions/s) at 1/2/8 shards on the virtual CPU mesh.
+    2 physical cores underneath: this validates the sharded path's overhead and
+    correctness at N devices, it is NOT a hardware scaling claim (that requires
+    a real pod slice; see BASELINE.md)."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_num_cpu_devices', 8)\n"
+        "import time, numpy as np, bench, json\n"
+        "from stellar_rw_tpu.parallel import distributed\n"
+        "g = bench.synth_power_law_graph(2000, 20000, seed=5)\n"
+        "res = {}\n"
+        "for S in (1, 2, 8):\n"
+        "    t0 = time.time()\n"
+        "    w = distributed.distributed_random_walks(\n"
+        "        g, walk_length=20, num_walks=2, p=0.25, q=0.25, seed=0,\n"
+        "        num_shards=S)\n"
+        "    warm = time.time() - t0\n"
+        "    t0 = time.time()\n"
+        "    w = distributed.distributed_random_walks(\n"
+        "        g, walk_length=20, num_walks=2, p=0.25, q=0.25, seed=0,\n"
+        "        num_shards=S)\n"
+        "    dt = time.time() - t0\n"
+        "    steps = int((w >= 0).sum() - len(w))\n"
+        "    res[str(S)] = {'edges_per_s': round(steps / dt, 1),\n"
+        "                   'run_s': round(dt, 3), 'first_call_s': round(warm, 3)}\n"
+        "base = res['1']['edges_per_s']\n"
+        "for S in ('2', '8'):\n"
+        "    res[S]['efficiency_vs_1'] = round(res[S]['edges_per_s'] / base, 3)\n"
+        "print(json.dumps(res))\n")
+    return _subprocess_json(code)
+
+
+def quality_probe() -> dict:
+    """Small planted-community graph -> full node2vec -> link-prediction AUC and
+    community classification accuracy (the BASELINE.json quality axis, scaled to
+    a benchmark-sized fixture)."""
+    import jax
+
+    from stellar_rw_tpu.graph.csr import from_edge_arrays
+    from stellar_rw_tpu.models import eval as ev
+    from stellar_rw_tpu.models import word2vec as w2v
+    from stellar_rw_tpu.walk import engine
+
+    rng = np.random.default_rng(7)
+    V, K = 2000, 4
+    labels = np.repeat(np.arange(K), V // K)
+    n_in, n_out = 24000, 3000
+    si = rng.integers(0, V, n_in)
+    di = (si // (V // K)) * (V // K) + rng.integers(0, V // K, n_in)
+    so = rng.integers(0, V, n_out)
+    do = rng.integers(0, V, n_out)
+    src = np.concatenate([si, so])
+    dst = np.concatenate([di, do])
+    keep = src != dst
+    g = from_edge_arrays(src[keep], dst[keep], num_vertices=V, symmetrize=True)
+    t0 = time.time()
+    walks = engine.random_walks(g, walk_length=40, num_walks=5, p=0.25, q=0.25,
+                                seed=1)
+    cfg = w2v.SGNSConfig(dim=64, window=5, negatives=5, lr=0.1, iters=5, seed=1,
+                         shared_negatives=128)
+    w_in, _ = w2v.train_skipgram(walks, V, cfg)
+    dt = time.time() - t0
+    edges = np.stack([src[keep], dst[keep]], 1)
+    auc = ev.link_prediction_auc(w_in, edges, V, seed=0)
+    acc = ev.node_classification_accuracy(w_in, labels, train_frac=0.5, seed=0)
+    return {"link_pred_auc": round(float(auc), 4),
+            "community_acc": round(float(acc), 4),
+            "pipeline_s": round(dt, 1),
+            "graph": f"planted {K}-community SBM, {V} V / {g.num_edges} arcs"}
 
 
 def main() -> None:
     graph = synth_power_law_graph(10_000, 334_000)
     tpu = measure_walk_throughput(graph)
-    # HBM-regime measurement: tables too large for VMEM staging (the
-    # LiveJournal-scale access pattern, BASELINE.json configs[3]) — 1M vertices,
+    sol = speed_of_light(graph, tpu["steps_per_s_pipelined"])
+    # HBM-regime measurement: tables too large for VMEM staging — 1M vertices,
     # ~32M arcs, one walker per vertex.
     big = synth_power_law_graph(1_000_000, 16_000_000, seed=1)
     tpu_big = measure_walk_throughput(big, rounds=3)
-    cpu_steps = _cpu_reference_steps_per_s()
+    sol_big = speed_of_light(big, tpu_big["steps_per_s_pipelined"])
+    sgns = measure_sgns_samples_per_s()
+    quality = quality_probe()
+    scaling = cpu_mesh_scaling()
+    cpu_steps = cpu_reference_steps_per_s()
     # 2-core host -> x8 approximates the 16-core Spark host; x10 = the target
-    baseline = 10.0 * 8.0 * cpu_steps if cpu_steps == cpu_steps else None
+    baseline = 10.0 * 8.0 * cpu_steps if cpu_steps else None
+    # headline: the pipelined number, but never more than 1.15x what the
+    # per-round blocked evidence supports (guards against unserialized dispatch)
+    headline = min(tpu["steps_per_s_pipelined"], 1.15 * tpu["steps_per_s_blocked"])
     result = {
         "metric": "walk_steps_per_s_per_chip",
-        "value": round(tpu["steps_per_s"], 1),
+        "value": round(headline, 1),
         "unit": "steps/s",
-        "vs_baseline": round(tpu["steps_per_s"] / baseline, 3) if baseline else None,
+        "vs_baseline": round(headline / baseline, 3) if baseline else None,
         "extras": {
             "workload": "synthetic BlogCatalog-shape 10K V / ~668K arcs, node2vec "
                         "p=q=0.25, L=80, rejection sampler",
-            "compile_s": round(tpu["compile_s"], 1),
-            "hbm_scale_steps_per_s": round(tpu_big["steps_per_s"], 1),
-            "hbm_scale_workload": "1M V / ~32M arcs power-law, same walk config",
-            "cpu_2core_steps_per_s": round(cpu_steps, 1) if cpu_steps == cpu_steps else None,
+            "walk_10k": tpu,
+            "speed_of_light_10k": sol,
+            "walk_1m_hbm": tpu_big,
+            "speed_of_light_1m": sol_big,
+            "sgns_samples_per_s": sgns,
+            "quality_probe": quality,
+            "cpu_mesh_scaling": scaling,
+            "cpu_2core_steps_per_s": round(cpu_steps, 1) if cpu_steps else None,
             "baseline_def": "10x (8x measured 2-core XLA-CPU engine) ~= 10x 16-core host",
         },
     }

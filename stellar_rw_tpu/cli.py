@@ -48,8 +48,10 @@ def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
     print(f"edges: {graph.num_edges}")
     walks = n2v.run_walks(graph, params, home)
     dt = time.time() - t0
+    walks_np = np.asarray(walks)  # one D2H view for stats + /path output; the
+    #                               device buffer (if any) flows to the trainer
     from .utils.stats import walk_stats
-    ws = walk_stats(walks)
+    ws = walk_stats(walks_np)
     print(f"walks: {ws.num_paths} paths, {ws.num_steps} steps in {dt:.2f}s "
           f"({ws.num_steps / max(dt, 1e-9):,.0f} steps/s)")
     # the reference's per-run diagnostics (Zero Neighbors dead-end counter,
@@ -57,7 +59,7 @@ def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
     print(f"Zero Neighbors: {ws.dead_ends}  (isolated starts: {ws.isolated_starts}, "
           f"full paths: {ws.full_paths}, mean length: {ws.mean_length:.1f})")
     logger.info("walk stats: %s", ws.as_dict())
-    gio.save_walks(walks, graph, params.output, n2v.output_partitions(params))
+    gio.save_walks(walks_np, graph, params.output, n2v.output_partitions(params))
     return walks, graph
 
 
@@ -87,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     # src/main/resources/log4j.properties; SURVEY.md §5.5)
     from .utils.logging import configure
     configure(params.log_dir)
+    # multi-host: join the jax.distributed process group when SRW_COORDINATOR /
+    # SRW_NUM_PROCESSES are set (one process per host; see parallel/multihost.py)
+    from .parallel.multihost import maybe_initialize_from_env
+    maybe_initialize_from_env()
     print(params)
     if params.profile_dir:
         import jax

@@ -56,7 +56,10 @@ def run_walks(graph: CSRGraph, params: Params,
     )
     S = num_walk_shards(params)
     if S <= 1:
-        return engine.random_walks(graph, **kw)
+        # device-resident corpus: the node2vec command hands this straight to
+        # train_skipgram with no host round-trip (a single np.asarray view is
+        # taken by the caller for /path output and stats)
+        return engine.random_walks(graph, as_numpy=False, **kw)
     from ..parallel import distributed
 
     route = None

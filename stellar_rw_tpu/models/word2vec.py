@@ -285,9 +285,19 @@ def train_skipgram(
     tables no longer need to fit a single chip.
     """
     N, T = corpus.shape
+    on_device = isinstance(corpus, jax.Array)
     if counts is None:
-        flat = corpus[corpus >= 0]
-        counts = np.bincount(flat, minlength=vocab_size).astype(np.float64)
+        if on_device:
+            # token frequencies computed on device (only the [vocab] vector
+            # crosses to host for the alias build)
+            flat = corpus.reshape(-1).astype(jnp.int32)
+            ok = (flat >= 0).astype(jnp.float32)
+            counts = np.asarray(
+                jnp.zeros(vocab_size, jnp.float32)
+                .at[jnp.maximum(flat, 0)].add(ok)).astype(np.float64)
+        else:
+            flat = corpus[corpus >= 0]
+            counts = np.bincount(flat, minlength=vocab_size).astype(np.float64)
     neg_keep, neg_alias = build_alias(np.maximum(counts, 1e-12) ** cfg.power)
 
     P = max(1, num_partitions)
@@ -296,8 +306,15 @@ def train_skipgram(
     # update steps as single-device training, preserving quality
     B = max(1, min(-(-cfg.row_block // P), max(-(-N // P), 1)))
     n_blocks = -(-N // (B * P))
-    padded = np.full((P * n_blocks * B, T), -1, dtype=np.int32)
-    padded[:N] = corpus
+    pad_rows = P * n_blocks * B - N
+    if on_device:
+        padded = corpus.astype(jnp.int32)
+        if pad_rows:
+            padded = jnp.concatenate(
+                [padded, jnp.full((pad_rows, T), -1, jnp.int32)])
+    else:
+        padded = np.full((P * n_blocks * B, T), -1, dtype=np.int32)
+        padded[:N] = corpus
     nk = jnp.asarray(neg_keep)
     na = jnp.asarray(neg_alias)
 

@@ -1,0 +1,171 @@
+"""Multi-host execution: process bootstrap + global-mesh walks with per-host output.
+
+The reference scales across machines with a Spark driver + executors
+(SURVEY.md §2.3-6); the TPU-native analog is `jax.distributed`: ONE PROCESS PER
+HOST, each attached to its local chips, all members of one global
+`jax.sharding.Mesh`. Collectives ride ICI within a host/slice and DCN across
+hosts — the walk engine (parallel/distributed.py) is written purely against the
+mesh axis, so the superstep path is untouched; this module only adds
+
+  * process-group initialization (explicit args or SRW_* env vars),
+  * global-array construction from process-local host data
+    (`jax.make_array_from_callback` — every host holds the partitioned graph,
+    the mesh assembles the sharded global views), and
+  * process-local output: each host keeps exactly its shard of the corpus and
+    writes its own part files, like Spark executors writing their partitions
+    (reference RandomWalk.scala:234-241 repartition/save).
+
+Launch (per host):
+  SRW_COORDINATOR=host0:9731 SRW_NUM_PROCESSES=4 SRW_PROCESS_ID=<i> \
+      python -m stellar_rw_tpu --cmd randomwalk --shards 16 ...
+(On Cloud TPU pods jax.distributed.initialize() autodetects all three.)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from ..graph.csr import CSRGraph
+from ..graph.partition import partition_graph
+from ..ops import sampling
+from ..walk.engine import WalkSpec
+from . import distributed
+from .distributed import AXIS
+
+logger = logging.getLogger("stellar_rw_tpu.multihost")
+
+ENV_COORD = "SRW_COORDINATOR"
+ENV_NPROC = "SRW_NUM_PROCESSES"
+ENV_PID = "SRW_PROCESS_ID"
+
+
+def initialize(coordinator: str | None = None, num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Join (or bootstrap) the jax.distributed process group. Returns True if a
+    multi-process group was initialized; False for single-process runs."""
+    import jax
+
+    coordinator = coordinator or os.environ.get(ENV_COORD)
+    num_processes = num_processes or int(os.environ.get(ENV_NPROC, 0)) or None
+    process_id = (process_id if process_id is not None
+                  else (int(os.environ[ENV_PID])
+                        if ENV_PID in os.environ else None))
+    if coordinator is None and num_processes is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    logger.info("multihost: process %d/%d, %d local / %d global devices",
+                jax.process_index(), jax.process_count(),
+                len(jax.local_devices()), len(jax.devices()))
+    return True
+
+
+def maybe_initialize_from_env() -> bool:
+    """CLI hook: join a process group iff the SRW_* env vars are set."""
+    if ENV_COORD in os.environ or ENV_NPROC in os.environ:
+        return initialize()
+    return False
+
+
+def global_mesh(num_shards: int | None = None):
+    """1-D mesh over the GLOBAL device list (all processes)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    n = num_shards or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def _put_global(x: np.ndarray, mesh, spec):
+    """Build a global sharded array from host-replicated data: every process
+    supplies only its addressable shards (multi-process-safe device_put)."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def device_put_sharded_graph(hsg, mesh):
+    """Multi-process-safe variant of distributed.device_put_sharded_graph."""
+    from jax.sharding import PartitionSpec as P
+
+    put = lambda a, dt, sp: _put_global(np.asarray(a, dtype=dt), mesh, sp)
+    arrays = (
+        put(hsg.offsets, np.int32, P(AXIS)),
+        put(hsg.cols, np.int32, P(AXIS)),
+        put(hsg.weights, np.float32, P(AXIS)),
+        put(hsg.alias_prob, np.float32, P(AXIS)),
+        put(hsg.alias_pos, np.int32, P(AXIS)),
+        put(hsg.hash_offsets, np.int32, P(AXIS)),
+        put(hsg.hash_mask, np.int32, P(AXIS)),
+        put(hsg.hash_table, np.int32, P(AXIS)),
+        put(hsg.glob2loc, np.int32, P(AXIS)),
+    )
+    route = put(hsg.route, np.int32, P(None))
+    return arrays, route
+
+
+def multihost_random_walks(
+    graph: CSRGraph,
+    walk_length: int,
+    num_walks: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    sampler: str = "rejection",
+    dtype: str = "float32",
+    num_shards: int | None = None,
+    route: np.ndarray | None = None,
+    capacity: int | None = None,
+) -> tuple[list[tuple[int, np.ndarray]], np.ndarray]:
+    """Sharded corpus across ALL processes' devices; every process receives only
+    ITS OWN corpus rows.
+
+    Every process must call this with identical arguments (SPMD). The walks are
+    bitwise identical to the single-chip engine; global corpus row r*W + w is
+    round r of walker w, and each returned (global_row_start, rows) block is a
+    contiguous slice of the PADDED global corpus [num_walks * W_pad, L+2]
+    (rows whose start slot was padding are all -1; W_pad = W rounded up to the
+    shard count). Returns (local_blocks, diag)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    mesh = global_mesh(num_shards)
+    S = mesh.devices.size
+    hsg = partition_graph(graph, S, route)
+    arrays, route_dev = device_put_sharded_graph(hsg, mesh)
+    W = graph.num_vertices
+    W_pad = -(-W // S) * S
+    starts_pad = np.full(W_pad, -1, dtype=np.int32)
+    starts_pad[:W] = np.arange(W, dtype=np.int32)
+    n = num_walks * W_pad // S
+    C = capacity if capacity is not None else distributed.auto_capacity(
+        graph, hsg.route, S, n)
+    C = max(1, min(C, n))
+    spec = WalkSpec(
+        walk_length=walk_length, p=float(p), q=float(q), sampler=sampler,
+        max_degree=max(graph.max_degree, 1),
+        n_search_iters=sampling.search_iters(graph.max_degree),
+        dtype=dtype,
+    )
+    starts_dev = _put_global(starts_pad, mesh, P(AXIS))
+    key = jax.random.PRNGKey(seed)
+    paths, diag = distributed.distributed_walk_corpus(
+        arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C,
+        mesh)
+    blocks = []
+    rows_per_shard = num_walks * W_pad // S
+    for sh in paths.addressable_shards:
+        start_row = sh.index[0].start or 0
+        blocks.append((int(start_row), np.asarray(sh.data)))
+        assert sh.data.shape[0] == rows_per_shard
+    # diag is replicated -> addressable everywhere
+    diag_np = np.asarray(diag.addressable_data(0))
+    return blocks, diag_np

@@ -170,6 +170,7 @@ def random_walks(
     starts: np.ndarray | None = None,
     device_graph: DeviceGraph | None = None,
     max_batch_walkers: int = 2_000_000,
+    as_numpy: bool = True,
 ) -> np.ndarray:
     """Full corpus: num_walks rounds of one walk per vertex (reference
     RandomWalk.scala:82). Returns [num_walks * W, walk_length + 2] dense ids (-1 pad);
@@ -177,7 +178,10 @@ def random_walks(
 
     Rounds are grouped into as few walk_corpus dispatches as fit max_batch_walkers
     (whole rounds only — the uniform streams are indexed by in-round walker position,
-    so splitting a round would change which uniform a walker consumes)."""
+    so splitting a round would change which uniform a walker consumes).
+
+    as_numpy=False returns the jax.Array instead — the device-resident handoff
+    to train_skipgram (no corpus re-upload for the node2vec command)."""
     g = device_graph if device_graph is not None else sampling.device_put_graph(graph)
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
@@ -199,4 +203,5 @@ def random_walks(
         # dispatches stalls tunneled PJRT transports (see ops/sampling.HASH_MULT)
         rounds.append(walk_corpus(g, starts_dev, base, spec, rb, np.int32(r)))
         r += rb
-    return np.asarray(jnp.concatenate(rounds, axis=0) if len(rounds) > 1 else rounds[0])
+    out = jnp.concatenate(rounds, axis=0) if len(rounds) > 1 else rounds[0]
+    return np.asarray(out) if as_numpy else out
