@@ -81,6 +81,26 @@ def search_iters(max_degree: int) -> int:
     return max(1, math.ceil(math.log2(max_degree + 1))) + 1
 
 
+def plan_sampler(sampler: str, p: float, q: float) -> tuple[str, int]:
+    """Resolve the production sampler + rejection round budget for a (p, q).
+
+    Rejection acceptance of a candidate is f/max_f with f in {1/p, 1, 1/q}, so
+    worst-case acceptance is min_f/max_f = 1/ratio. The round budget is sized so
+    the truncation probability (a walker keeping its last candidate after every
+    trial, sampling.rejection_sample) is < e^-8 ≈ 3e-4 even if every candidate
+    lands in the worst bias class: trials = k_candidates * max_rounds ≈ 8*ratio.
+    Beyond ratio 32 that budget approaches the exact inverse-CDF scan's cost, so
+    the engine switches to the cdf sampler outright (extreme p/q — e.g. 100 —
+    are exact there at any degree)."""
+    if sampler != "rejection":
+        return sampler, 16
+    fs = (1.0 / p, 1.0, 1.0 / q)
+    ratio = max(fs) / min(fs)
+    if ratio > 32.0:
+        return "cdf", 16
+    return "rejection", max(16, int(2.0 * ratio) + 1)
+
+
 def in_row(g: DeviceGraph, rows: jax.Array, queries: jax.Array, n_iters: int) -> jax.Array:
     """Vectorized membership: queries[...] in sorted row cols[offsets[rows]:offsets[rows+1]].
 

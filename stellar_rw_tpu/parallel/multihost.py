@@ -149,10 +149,12 @@ def multihost_random_walks(
     C = capacity if capacity is not None else distributed.auto_capacity(
         graph, hsg.route, S, n)
     C = max(1, min(C, n))
+    sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
     spec = WalkSpec(
         walk_length=walk_length, p=float(p), q=float(q), sampler=sampler,
         max_degree=max(graph.max_degree, 1),
         n_search_iters=sampling.search_iters(graph.max_degree),
+        max_rounds=max_rounds,
         dtype=dtype,
     )
     starts_dev = _put_global(starts_pad, mesh, P(AXIS))

@@ -185,10 +185,12 @@ def random_walks(
     g = device_graph if device_graph is not None else sampling.device_put_graph(graph)
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
+    sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
     spec = WalkSpec(
         walk_length=walk_length, p=float(p), q=float(q), sampler=sampler,
         max_degree=max(graph.max_degree, 1),
         n_search_iters=sampling.search_iters(graph.max_degree),
+        max_rounds=max_rounds,
         dtype=dtype,
     )
     starts_dev = jnp.asarray(starts, dtype=jnp.int32)
