@@ -59,6 +59,16 @@ def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
     print(f"Zero Neighbors: {ws.dead_ends}  (isolated starts: {ws.isolated_starts}, "
           f"full paths: {ws.full_paths}, mean length: {ws.mean_length:.1f})")
     logger.info("walk stats: %s", ws.as_dict())
+    # corpus-size invariant, warned (not failed) like the reference's per-round
+    # path-count check (RandomWalk.scala:164-167)
+    expect = params.num_walks * graph.num_vertices
+    if ws.num_paths != expect:
+        logger.warning("corpus has %d paths, expected numWalks*|V| = %d",
+                       ws.num_paths, expect)
+    if params.validate:
+        from .utils.stats import validate_walks
+        validate_walks(walks_np, graph)
+        print("walk invariants: ok")
     gio.save_walks(walks_np, graph, params.output, n2v.output_partitions(params))
     return walks, graph
 

@@ -65,6 +65,9 @@ class Params:
     log_dir: str | None = None    # also log to a midnight-rolling file here
     #                               (the reference's log4j rolling appender analog)
     profile_dir: str | None = None  # capture a jax.profiler trace of the run here
+    validate: bool = False        # runtime invariant checks on the realized corpus
+    #                               (every transition is a real arc, no walker
+    #                               resurrection, ids in range)
 
     def __str__(self) -> str:  # reference AbstractParams.scala:39-52 pretty-print
         d = dataclasses.asdict(self)
@@ -132,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write logs to a midnight-rolling file in this dir")
     ap.add_argument("--profile", default=d.profile_dir, dest="profile",
                     help="capture a jax.profiler trace of the pipeline to this dir")
+    ap.add_argument("--validate", type=_bool, default=d.validate,
+                    help="check walk invariants on the realized corpus "
+                         "(every transition is a real arc; fails loudly)")
     return ap
 
 
@@ -152,7 +158,7 @@ def parse(argv: list[str]) -> Params | None:
         sampler=ns.sampler, w2v_negatives=ns.negatives,
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
         shared_negatives=ns.sharedNegatives, w2v_model_shards=ns.w2vModelShards,
-        log_dir=ns.logDir, profile_dir=ns.profile,
+        log_dir=ns.logDir, profile_dir=ns.profile, validate=ns.validate,
     )
 
 

@@ -48,6 +48,37 @@ def walk_stats(walks: np.ndarray) -> WalkStats:
     )
 
 
+def validate_walks(walks: np.ndarray, graph) -> dict:
+    """Runtime invariant checks over a realized corpus — the product-surface
+    analog of the reference's per-superstep sanity warnings (walker-count
+    monotonicity RandomWalk.scala:150-153, paths-per-round == |V| :164-167),
+    plus the stronger property the reference never checks: every consecutive
+    pair in every walk is a real arc of the graph.
+
+    Returns a dict of violation counts (all zero on a correct corpus); raises
+    AssertionError on any violation.
+    """
+    V = graph.num_vertices
+    a = walks[:, :-1]
+    b = walks[:, 1:]
+    valid = (a >= 0) & (b >= 0)
+    # arc membership via packed sorted keys (vectorized; O(E log E))
+    deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
+    src = np.repeat(np.arange(V, dtype=np.int64), deg)
+    keys = np.unique(src * V + graph.cols.astype(np.int64))
+    trans = a[valid].astype(np.int64) * V + b[valid].astype(np.int64)
+    pos = np.searchsorted(keys, trans)
+    pos = np.minimum(pos, max(len(keys) - 1, 0))
+    bad_arcs = int((keys[pos] != trans).sum()) if len(keys) else int(valid.sum())
+    # no resurrection: once -1, a row stays -1 (monotone completion mask)
+    resurrect = int(((a < 0) & (b >= 0)).sum())
+    # ids in range
+    oob = int(((walks >= V) | (walks < -1)).sum())
+    out = {"bad_arcs": bad_arcs, "resurrected": resurrect, "out_of_range": oob}
+    assert not any(out.values()), f"walk invariant violations: {out}"
+    return out
+
+
 def boundary_traffic(walks: np.ndarray, route: np.ndarray) -> dict:
     """Fraction / count of walk transitions that cross shard boundaries — the volume
     the reference pays a Spark shuffle for per superstep (RandomWalk.scala:186-192)

@@ -62,3 +62,20 @@ def test_cli_checkpoint_and_resume(tmp_path, karate_path):
     assert int(z["epoch"]) == 3
     # resume path runs without error and rewrites outputs
     cli.run_job(config.parse(argv + ["--resume", "true"]))
+
+
+def test_validate_walks_invariants(karate_path):
+    from stellar_rw_tpu.graph import io
+    from stellar_rw_tpu.utils.stats import validate_walks
+    from stellar_rw_tpu.walk import engine
+    import numpy as np
+    import pytest
+
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    walks = engine.random_walks(g, walk_length=6, num_walks=2, seed=0)
+    assert validate_walks(walks, g) == {
+        "bad_arcs": 0, "resurrected": 0, "out_of_range": 0}
+    bad = walks.copy()
+    bad[0, 1] = (bad[0, 0] + 17) % g.num_vertices  # karate: almost surely no arc
+    with pytest.raises(AssertionError):
+        validate_walks(bad, g)
