@@ -154,6 +154,15 @@ class CSRGraph:
             return
         V = self.num_vertices
         E = self.num_edges
+        if V > 0 and max_probes == HASH_MAX_PROBES:
+            try:  # native fast path (bit-identical layouts, tests/test_native.py)
+                from .. import native
+                if native.available():
+                    self.hash_offsets, self.hash_mask, self.hash_table = \
+                        native.build_hash_rows(self.offsets, self.cols)
+                    return
+            except Exception:
+                pass
         if V == 0:
             self.hash_offsets = np.zeros(1, dtype=np.int64)
             self.hash_mask = np.zeros(0, dtype=np.int32)
@@ -262,7 +271,10 @@ def from_edge_arrays(src: np.ndarray, dst: np.ndarray,
         weights = np.concatenate([weights, weights])
     V = int(num_vertices if num_vertices is not None
             else (max(src.max(initial=-1), dst.max(initial=-1)) + 1))
-    order = np.lexsort((dst, src))
+    if V and V < (1 << 31):  # packed single-key sort: ~2x faster than lexsort
+        order = np.argsort(src * V + dst, kind="stable")
+    else:
+        order = np.lexsort((dst, src))
     src, dst, weights = src[order], dst[order], weights[order]
     deg = np.bincount(src, minlength=V).astype(np.int64)
     offsets = np.zeros(V + 1, dtype=np.int64)

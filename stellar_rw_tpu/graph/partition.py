@@ -70,29 +70,23 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
     E = graph.num_edges
 
-    # Halo rows, fully vectorized (no per-shard O(V) masks — required at
-    # LiveJournal scale): each arc u->w obliges shard route[u] to hold row(w) and
-    # shard route[w] to hold row(u). Unique (shard, row) pairs via a packed key.
+    # Halo rows, vectorized per shard: each arc u->w obliges shard route[u] to
+    # hold row(w) and shard route[w] to hold row(u). Per-shard boolean masks over
+    # V with whole-arc-array writes (O(S*E) vectorized compares total — beats a
+    # global 2E-key unique by a wide margin at LiveJournal scale).
     if E:
         src_of_edge = np.repeat(np.arange(V, dtype=np.int64), deg)
-        cols64 = graph.cols.astype(np.int64)
-        pair_shard = np.concatenate([route[src_of_edge], route[cols64]]).astype(np.int64)
-        pair_row = np.concatenate([cols64, src_of_edge])
-        key = np.unique(pair_shard * V + pair_row)
-        k_shard = (key // V).astype(np.int32)
-        k_row = key % V
-        is_halo = route[k_row] != k_shard
-        k_shard, k_row = k_shard[is_halo], k_row[is_halo]
-    else:
-        k_shard = np.zeros(0, dtype=np.int32)
-        k_row = np.zeros(0, dtype=np.int64)
-
-    # rows per shard: owned ascending, then halo ascending (keys are sorted, so
-    # k_row is ascending within each shard)
+        route_src = route[src_of_edge]
+        route_dst = route[graph.cols]
     rows_per_shard: list[np.ndarray] = []
     for s in range(S):
-        owned = np.flatnonzero(route == s).astype(np.int64)
-        halo = k_row[k_shard == s]
+        owned_mask = route == s
+        nbr_mask = np.zeros(V, dtype=bool)
+        if E:
+            nbr_mask[graph.cols[route_src == s]] = True   # out-neighbors of owned
+            nbr_mask[src_of_edge[route_dst == s]] = True  # in-neighbors of owned
+        halo = np.flatnonzero(nbr_mask & ~owned_mask).astype(np.int64)
+        owned = np.flatnonzero(owned_mask).astype(np.int64)
         rows_per_shard.append(np.concatenate([owned, halo]))
 
     R_max = max((len(r) for r in rows_per_shard), default=1) or 1
@@ -101,24 +95,39 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     H_max = max((int(hsizes[r].sum()) for r in rows_per_shard), default=8) or 8
 
     offsets = np.zeros((S, R_max + 1), dtype=np.int64)
-    cols = np.zeros((S, E_max), dtype=np.int32)
-    weights = np.zeros((S, E_max), dtype=np.float32)
-    aprob = np.ones((S, E_max), dtype=np.float32)
-    apos = np.zeros((S, E_max), dtype=np.int32)
+    # padding areas beyond each shard's fill are never read on device (offsets/
+    # hash bases always stay inside the filled prefix), so np.empty is safe for
+    # the big buffers — np.full on the [S, H_max] table alone memsets ~10 GB at
+    # LiveJournal scale
+    cols = np.empty((S, E_max), dtype=np.int32)
+    weights = np.empty((S, E_max), dtype=np.float32)
+    aprob = np.empty((S, E_max), dtype=np.float32)
+    apos = np.empty((S, E_max), dtype=np.int32)
     hoff = np.zeros((S, R_max), dtype=np.int64)
     hmask = np.zeros((S, R_max), dtype=np.int32)
-    htab = np.full((S, H_max), -1, dtype=np.int32)
+    htab = np.empty((S, H_max), dtype=np.int32)
     glob2loc = np.full((S, V), -1, dtype=np.int32)
     num_owned = np.zeros(S, dtype=np.int32)
     num_local = np.zeros(S, dtype=np.int32)
 
-    def _flat_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-        """Concatenated [starts[i], starts[i]+lens[i]) ranges without Python loops:
-        element j of range i sits at repeat(starts - cumsum_exclusive, lens) + j."""
+    try:
+        from .. import native
+        _gather = native.gather_rows if native.available() else None
+    except Exception:
+        _gather = None
+
+    def _fill(starts: np.ndarray, lens: np.ndarray, src: np.ndarray,
+              out_row: np.ndarray) -> None:
+        """out_row[:lens.sum()] = concat of src[starts[i]:starts[i]+lens[i]].
+        Native range-memcpy when available; NumPy flat-index fallback."""
+        if _gather is not None:
+            _gather(starts, lens, np.ascontiguousarray(src), out_row)
+            return
         total = int(lens.sum())
         csum = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=csum[1:])
-        return np.repeat(starts - csum[:-1], lens) + np.arange(total, dtype=np.int64)
+        idx = np.repeat(starts - csum[:-1], lens) + np.arange(total, dtype=np.int64)
+        out_row[:total] = src[idx]
 
     for s, rows in enumerate(rows_per_shard):
         R = len(rows)
@@ -132,18 +141,17 @@ def partition_graph(graph: CSRGraph, num_shards: int,
         np.cumsum(lens, out=offsets[s, 1:R + 1])
         offsets[s, R + 1:] = offsets[s, R]
         if E_s:
-            idx = _flat_gather_idx(graph.offsets[:-1][rows], lens)
-            cols[s, :E_s] = graph.cols[idx]
-            weights[s, :E_s] = graph.weights[idx]
-            aprob[s, :E_s] = graph.alias_prob[idx]
-            apos[s, :E_s] = graph.alias_pos[idx]
+            starts = graph.offsets[:-1][rows]
+            _fill(starts, lens, graph.cols, cols[s])
+            _fill(starts, lens, graph.weights, weights[s])
+            _fill(starts, lens, graph.alias_prob, aprob[s])
+            _fill(starts, lens, graph.alias_pos, apos[s])
         hs = hsizes[rows]
         H_s = int(hs.sum())
         hoff[s, 1:R] = np.cumsum(hs)[:-1]
         hmask[s, :R] = graph.hash_mask[rows]
         if H_s:
-            hidx = _flat_gather_idx(graph.hash_offsets[:-1][rows], hs)
-            htab[s, :H_s] = graph.hash_table[hidx]
+            _fill(graph.hash_offsets[:-1][rows], hs, graph.hash_table, htab[s])
 
     return ShardedGraphHost(
         num_shards=S, route=route, offsets=offsets, cols=cols, weights=weights,

@@ -58,6 +58,17 @@ def _load():
         lib.srw_build_alias.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                         ctypes.c_int64, ctypes.c_void_p,
                                         ctypes.c_void_p]
+        lib.srw_build_hash.restype = ctypes.c_void_p
+        lib.srw_build_hash.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int64]
+        lib.srw_hash_total.restype = ctypes.c_int64
+        lib.srw_hash_total.argtypes = [ctypes.c_void_p]
+        lib.srw_hash_copy.restype = None
+        lib.srw_hash_free.argtypes = [ctypes.c_void_p]
+        lib.srw_gather_rows.restype = None
+        lib.srw_gather_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return lib
 
@@ -86,6 +97,43 @@ def build_alias_rows(offsets: np.ndarray,
         lib.srw_build_alias(c(offsets), c(weights),
                             ctypes.c_int64(len(offsets) - 1), c(prob), c(pos))
     return prob, pos
+
+
+def build_hash_rows(offsets: np.ndarray, cols: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row open-addressing membership tables for a CSR -> (hash_offsets
+    i64[V+1], hash_mask i32[V], hash_table i32[H]). Bit-identical layouts to
+    graph/csr.build_hash_tables (same round-based placement), ~100x faster at
+    LiveJournal scale."""
+    lib = _load()
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    V = len(offsets) - 1
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    h = lib.srw_build_hash(c(offsets), c(cols), ctypes.c_int64(V))
+    try:
+        H = lib.srw_hash_total(ctypes.c_void_p(h))
+        hoff = np.empty(V + 1, np.int64)
+        hmask = np.empty(max(V, 1), np.int32)
+        htab = np.empty(max(H, 1), np.int32)
+        lib.srw_hash_copy(ctypes.c_void_p(h), c(hoff), c(hmask), c(htab))
+    finally:
+        lib.srw_hash_free(ctypes.c_void_p(h))
+    return hoff, hmask[:V], htab[:H]
+
+
+def gather_rows(starts: np.ndarray, lens: np.ndarray, src: np.ndarray,
+                out: np.ndarray) -> None:
+    """out[:lens.sum()] = concatenation of src[starts[i]:starts[i]+lens[i]]
+    via range memcpys. src/out must be contiguous with the same dtype."""
+    lib = _load()
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    assert src.flags.c_contiguous and out.flags.c_contiguous
+    assert src.dtype == out.dtype
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.srw_gather_rows(c(starts), c(lens), ctypes.c_int64(len(starts)),
+                        c(src), c(out), ctypes.c_int64(src.dtype.itemsize))
 
 
 def build_graph(path: str, weighted: bool = True, directed: bool = False,

@@ -134,3 +134,34 @@ def test_distributed_dead_ends(testgraph_path):
     by_start = {int(r[0]): r for r in walks}
     assert by_start[idx[1]][1] == idx[2] and np.all(by_start[idx[1]][2:] == -1)
     assert np.all(by_start[idx[2]][1:] == -1)
+
+
+def test_partitioner_scales(karate_path):
+    """Host preprocessing perf guard (round-1 verdict item 6): building + alias +
+    hash + 8-way partitioning of a 200K-vertex / ~2.8M-arc power-law graph must
+    take seconds, not minutes (the 5M-vertex / 70M-arc measurement lives in
+    BASELINE.md). Structure is validated by spot-check against the whole graph."""
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    t0 = time.time()
+    g = bench.synth_power_law_graph(200_000, 1_400_000, seed=11)
+    g.build_alias_tables()
+    g.build_hash_tables()
+    hsg = partition.partition_graph(g, 8)
+    dt = time.time() - t0
+    assert dt < 60, f"host preprocessing took {dt:.1f}s at 200K vertices"
+    assert hsg.replication_factor >= 1.0
+    # spot-check: a few owned rows replicate the global adjacency exactly
+    rng = np.random.default_rng(0)
+    for v in rng.integers(0, g.num_vertices, 32):
+        s = int(hsg.route[v])
+        loc = hsg.glob2loc[s, v]
+        a, b = hsg.offsets[s, loc], hsg.offsets[s, loc + 1]
+        gc, gw = g.neighbors(int(v))
+        np.testing.assert_array_equal(hsg.cols[s, a:b], gc)
+        np.testing.assert_array_equal(hsg.weights[s, a:b], gw)
