@@ -38,10 +38,32 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 from functools import partial
 
 import numpy as np
+
+# Partial results collected as phases complete; the watchdog dumps these if a
+# phase wedges (the tunneled TPU transport can hang indefinitely — observed
+# 2026-08-20: stuck dispatch at 0 CPU with even fresh-process matmuls hanging).
+PARTIAL: dict = {}
+BENCH_TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT_S", 2400))
+
+
+def _watchdog():
+    time.sleep(BENCH_TIMEOUT_S)
+    result = {
+        "metric": "walk_steps_per_s_per_chip",
+        "value": PARTIAL.get("walk_10k", {}).get("steps_per_s_pipelined"),
+        "unit": "steps/s",
+        "vs_baseline": None,
+        "extras": {"TIMEOUT": f"bench wedged after {BENCH_TIMEOUT_S}s; "
+                              "partial results only (TPU transport hang?)",
+                   **PARTIAL},
+    }
+    print(json.dumps(result), flush=True)
+    os._exit(2)
 
 VMEM_BYTES = 16 * 2**20  # per-core VMEM (pallas guide: ~16 MB/core)
 
@@ -231,6 +253,11 @@ def _subprocess_json(code: str, timeout=1800):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
     pre = (
         "import os,sys,json\n"
+        "import jax\n"
+        # sitecustomize may pre-import jax pinned to the tunneled TPU; re-point
+        # the platform through jax.config BEFORE first backend use (env vars
+        # alone are not reliable here — see tests/conftest.py)
+        "jax.config.update('jax_platforms','cpu')\n"
         "sys.path=[p for p in sys.path if '.axon_site' not in p]\n"
         "os.environ['JAX_PLATFORMS']='cpu'\n"
         "sys.path.insert(0,%r)\n" % os.path.dirname(os.path.abspath(__file__))
@@ -327,17 +354,20 @@ def quality_probe() -> dict:
 
 
 def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
     graph = synth_power_law_graph(10_000, 334_000)
-    tpu = measure_walk_throughput(graph)
-    sol = speed_of_light(graph, tpu["steps_per_s_pipelined"])
+    tpu = PARTIAL["walk_10k"] = measure_walk_throughput(graph)
+    sol = PARTIAL["speed_of_light_10k"] = speed_of_light(
+        graph, tpu["steps_per_s_pipelined"])
     # HBM-regime measurement: tables too large for VMEM staging — 1M vertices,
     # ~32M arcs, one walker per vertex.
     big = synth_power_law_graph(1_000_000, 16_000_000, seed=1)
-    tpu_big = measure_walk_throughput(big, rounds=3)
-    sol_big = speed_of_light(big, tpu_big["steps_per_s_pipelined"])
-    sgns = measure_sgns_samples_per_s()
-    quality = quality_probe()
-    scaling = cpu_mesh_scaling()
+    tpu_big = PARTIAL["walk_1m_hbm"] = measure_walk_throughput(big, rounds=3)
+    sol_big = PARTIAL["speed_of_light_1m"] = speed_of_light(
+        big, tpu_big["steps_per_s_pipelined"])
+    sgns = PARTIAL["sgns_samples_per_s"] = measure_sgns_samples_per_s()
+    quality = PARTIAL["quality_probe"] = quality_probe()
+    scaling = PARTIAL["cpu_mesh_scaling"] = cpu_mesh_scaling()
     cpu_steps = cpu_reference_steps_per_s()
     # 2-core host -> x8 approximates the 16-core Spark host; x10 = the target
     baseline = 10.0 * 8.0 * cpu_steps if cpu_steps else None
