@@ -74,7 +74,20 @@ def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
 
 
 def run_job(params: Params) -> str:
-    if params.cmd == TaskName.node2vec:
+    if params.cmd == TaskName.node2vec and params.streaming:
+        # memory-bounded pipeline: one walk round resident at a time
+        graph, _home = _load_graph(params)
+        print(f"vertices: {graph.num_vertices}")
+        print(f"edges: {graph.num_edges}")
+        tokens, w_in, w_out, ws = n2v.run_node2vec_streaming(graph, params)
+        print(f"walks (streamed): {ws.num_paths} paths, {ws.num_steps} steps")
+        print(f"Zero Neighbors: {ws.dead_ends}  (isolated starts: "
+              f"{ws.isolated_starts}, full paths: {ws.full_paths}, "
+              f"mean length: {ws.mean_length:.1f})")
+        n2v.save_model(params.output, tokens, w_in, w_out, params)
+        gio.save_vectors(np.asarray(tokens), w_in, params.output,
+                         n2v.output_partitions(params))
+    elif params.cmd == TaskName.node2vec:
         walks, graph = do_random_walk(params)
         tokens, w_in, w_out = n2v.embed_walks(walks, graph, params)
         n2v.save_model(params.output, tokens, w_in, w_out, params)

@@ -147,6 +147,35 @@ def save_walks(walks: np.ndarray, graph: CSRGraph, output: str, partitions: int 
     return out_dir
 
 
+def save_walks_stream(rounds, total_rows: int, graph: CSRGraph, output: str,
+                      partitions: int = 1) -> str:
+    """Streaming variant of save_walks: `rounds` yields [W, L+2] blocks in global
+    row order; rows are spread over part files with the same boundaries
+    np.array_split would produce, without ever materializing the corpus."""
+    out_dir = os.path.join(output, PATH_SUFFIX)
+    os.makedirs(out_dir, exist_ok=True)
+    nfiles = max(1, partitions)
+    bounds = [len(c) for c in np.array_split(np.arange(total_rows), nfiles)]
+    files = _part_files(out_dir, nfiles)
+    fi = 0
+    left = bounds[0]
+    f = open(files[fi], "w")
+    try:
+        for block in rounds:
+            for row in np.asarray(block):
+                while left == 0 and fi + 1 < nfiles:
+                    f.close()
+                    fi += 1
+                    left = bounds[fi]
+                    f = open(files[fi], "w")
+                row = row[row >= 0]
+                f.write("\t".join(str(int(graph.ids[v])) for v in row) + "\n")
+                left -= 1
+    finally:
+        f.close()
+    return out_dir
+
+
 def load_walks(path: str) -> list[list[int]]:
     """Read a walk corpus (original ids) from a file or a /path-style directory."""
     files = [path]

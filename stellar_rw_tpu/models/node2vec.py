@@ -77,6 +77,82 @@ def run_walks(graph: CSRGraph, params: Params,
     return walks
 
 
+def run_node2vec_streaming(graph: CSRGraph, params: Params):
+    """Memory-bounded node2vec: one walk ROUND resident at a time.
+
+    The reference materializes the full corpus before Word2Vec.fit
+    (Main.scala:112-116) — 10·|V|·82·4B ≈ 13 GB at LiveJournal defaults, more
+    than a chip's spare HBM next to the graph tables. Here the counter-based
+    streams make every round exactly regenerable, so the pipeline is:
+
+      pre-pass (once): generate each round on device, stream /path to disk,
+        accumulate token counts + walk stats;
+      training: per epoch, regenerate each round and train on it — the realized
+        corpus is bitwise identical to the stored-corpus path.
+
+    Returns (tokens, w_in, w_out, stats). Single-chip engine (sharded streaming
+    is a planned follow-up)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import sampling
+    from ..utils.stats import WalkStats
+
+    dg = sampling.device_put_graph(graph)
+    sampler, max_rounds = sampling.plan_sampler(
+        params.sampler, params.p, params.q)
+    spec = engine.WalkSpec(
+        walk_length=params.walk_length, p=float(params.p), q=float(params.q),
+        sampler=sampler, max_degree=max(graph.max_degree, 1),
+        n_search_iters=sampling.search_iters(graph.max_degree),
+        max_rounds=max_rounds,
+    )
+    V = graph.num_vertices
+    starts = jnp.arange(V, dtype=jnp.int32)
+    base = jax.random.PRNGKey(params.seed)
+    R = params.num_walks
+
+    def make_round(r: int):
+        return engine.walk_corpus(dg, starts, base, spec, 1, np.int32(r))
+
+    # pre-pass: /path + token counts + stats in one sweep of the corpus
+    counts_dev = jnp.zeros(V, jnp.float32)
+
+    @jax.jit
+    def add_counts(acc, block):
+        flat = block.reshape(-1)
+        ok = (flat >= 0).astype(jnp.float32)
+        return acc.at[jnp.maximum(flat, 0)].add(ok)
+
+    lengths = np.zeros(0, dtype=np.int64)
+
+    def rounds_for_save():
+        nonlocal counts_dev, lengths
+        for r in range(R):
+            block = make_round(r)
+            counts_dev = add_counts(counts_dev, block)
+            block_np = np.asarray(block)
+            lengths = np.concatenate([lengths, (block_np >= 0).sum(axis=1)])
+            yield block_np
+
+    gio.save_walks_stream(rounds_for_save(), R * V, graph, params.output,
+                          output_partitions(params))
+    counts = np.asarray(counts_dev).astype(np.float64)
+    full = params.walk_length + 2
+    stats = WalkStats(
+        num_paths=int(len(lengths)),
+        num_steps=int(lengths.sum() - len(lengths)),
+        full_paths=int((lengths == full).sum()),
+        dead_ends=int(((lengths < full) & (lengths > 1)).sum()),
+        isolated_starts=int((lengths == 1).sum()),
+        mean_length=float(lengths.mean()) if len(lengths) else 0.0,
+    )
+
+    w_in, w_out = w2v.train_skipgram_streaming(
+        make_round, R, (V, full), V, sgns_config(params), counts)
+    return [int(i) for i in graph.ids], w_in, w_out, stats
+
+
 def sgns_config(params: Params) -> w2v.SGNSConfig:
     return w2v.SGNSConfig(
         dim=params.w2v_dim,

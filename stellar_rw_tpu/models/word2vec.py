@@ -390,6 +390,68 @@ def train_skipgram(
     return np.asarray(w_in), np.asarray(w_out)
 
 
+def train_skipgram_streaming(
+    make_round,
+    num_rounds: int,
+    round_shape: tuple[int, int],
+    vocab_size: int,
+    cfg: SGNSConfig,
+    counts: np.ndarray,
+    on_round=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SGNS over a corpus that never materializes fully: one walk ROUND at a time.
+
+    The reference pipeline materializes the whole corpus before Word2Vec.fit
+    (Main.scala:112-116); at LiveJournal defaults that is 10·|V| × 82 × 4B ≈ 13 GB
+    — more than a chip's spare HBM next to the graph tables. Because walks are
+    counter-based-deterministic, each round can be REGENERATED per epoch instead
+    of stored: memory is one round's [W, L+2] buffer, and the realized corpus is
+    bitwise identical to the stored-corpus path.
+
+    make_round(r) -> jax.Array [W, T] (device-resident; -1 padded), called
+    num_rounds times per epoch, identical output for the same r every epoch.
+    counts: full-corpus token frequencies (host pre-pass; see node2vec).
+    on_round(epoch, r, corpus_np) — optional tap (e.g. the CLI writes /path from
+    the first epoch's rounds, so the walk files cost no extra generation).
+    """
+    W, T = round_shape
+    neg_keep, neg_alias = build_alias(np.maximum(counts, 1e-12) ** cfg.power)
+    nk = jnp.asarray(neg_keep)
+    na = jnp.asarray(neg_alias)
+    key = jax.random.PRNGKey(cfg.seed)
+    w_in, w_out = _init_embeddings(vocab_size, cfg.dim,
+                                   jax.random.fold_in(key, 0x1A17))
+    B = max(1, min(cfg.row_block, W))
+    n_blocks = -(-W // B)
+    pad_rows = n_blocks * B - W
+    use_pallas = (jax.default_backend() == "tpu"
+                  if cfg.use_pallas is None else cfg.use_pallas)
+    lr_lo = cfg.lr * cfg.min_lr_frac
+    total_slices = max(cfg.iters * num_rounds, 1)
+
+    def lr_at(slice_idx: int) -> float:
+        frac = slice_idx / total_slices
+        return cfg.lr + (lr_lo - cfg.lr) * frac
+
+    for ep in range(cfg.iters):
+        kep = jax.random.fold_in(key, ep)
+        for r in range(num_rounds):
+            corpus_r = make_round(r)
+            if on_round is not None:
+                on_round(ep, r, corpus_r)
+            if pad_rows:
+                corpus_r = jnp.concatenate(
+                    [corpus_r, jnp.full((pad_rows, T), -1, jnp.int32)])
+            blocks = corpus_r.reshape(n_blocks, B, T)
+            s = ep * num_rounds + r
+            w_in, w_out = _train_epoch(
+                w_in, w_out, blocks, nk, na, jax.random.fold_in(kep, r),
+                np.float32(lr_at(s)), np.float32(lr_at(s + 1)),
+                cfg.window, cfg.negatives,
+                shared_negatives=cfg.shared_negatives, use_pallas=use_pallas)
+    return np.asarray(w_in), np.asarray(w_out)
+
+
 def sgns_loss(w_in, w_out, centers, contexts, negs) -> jax.Array:
     """Mean SGNS loss (monitoring / the jittable forward step exposed to the driver)."""
     vi = w_in[centers]

@@ -68,6 +68,9 @@ class Params:
     validate: bool = False        # runtime invariant checks on the realized corpus
     #                               (every transition is a real arc, no walker
     #                               resurrection, ids in range)
+    streaming: bool = False       # node2vec with one walk round resident at a
+    #                               time (rounds regenerated per epoch from the
+    #                               counter-based streams; bounded memory)
 
     def __str__(self) -> str:  # reference AbstractParams.scala:39-52 pretty-print
         d = dataclasses.asdict(self)
@@ -138,6 +141,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--validate", type=_bool, default=d.validate,
                     help="check walk invariants on the realized corpus "
                          "(every transition is a real arc; fails loudly)")
+    ap.add_argument("--streaming", type=_bool, default=d.streaming,
+                    help="node2vec with one walk round in memory at a time "
+                         "(rounds regenerated deterministically per epoch)")
     return ap
 
 
@@ -159,6 +165,7 @@ def parse(argv: list[str]) -> Params | None:
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
         shared_negatives=ns.sharedNegatives, w2v_model_shards=ns.w2vModelShards,
         log_dir=ns.logDir, profile_dir=ns.profile, validate=ns.validate,
+        streaming=ns.streaming,
     )
 
 

@@ -124,6 +124,37 @@ def test_partitioned_cli_uses_vcut_home_routing(tmp_path, karate_path):
     assert a == b
 
 
+def test_streaming_node2vec_matches_stored(tmp_path, karate_path):
+    """--streaming true: one walk round in memory at a time, rounds regenerated
+    per epoch from the counter-based streams. The /path output must be bitwise
+    identical to the stored-corpus pipeline, and the embeddings must pass the
+    same quality gates."""
+    import numpy as np
+
+    from stellar_rw_tpu.models import eval as ev
+    from stellar_rw_tpu.graph import io as gio
+
+    args = ["--cmd", "node2vec", "--input", karate_path,
+            "--walkLength", "20", "--numWalks", "10", "--weighted", "false",
+            "--dim", "32", "--window", "5", "--iter", "20", "--lr", "0.2",
+            "--seed", "2"]
+    out_a = tmp_path / "stored"
+    out_b = tmp_path / "stream"
+    cli.run_job(config.parse(args + ["--output", str(out_a)]))
+    cli.run_job(config.parse(args + ["--output", str(out_b),
+                                     "--streaming", "true"]))
+    pa = open(out_a / "path" / "part-00000").read()
+    pb = open(out_b / "path" / "part-00000").read()
+    assert pa == pb
+    tokens, w_in, _ = n2v.load_model(str(out_b))
+    g = gio.load_edge_list(karate_path, weighted=False, directed=False)
+    edges = [(v, int(d)) for v in range(g.num_vertices)
+             for d in g.neighbors(v)[0] if v < int(d)]
+    auc = ev.link_prediction_auc(w_in, np.asarray(edges), g.num_vertices, seed=0)
+    acc = ev.node_classification_accuracy(w_in, ev.karate_labels(g.ids), seed=0)
+    assert auc > 0.7 and acc >= 0.85, (auc, acc)
+
+
 def test_multi_file_output(tmp_path, karate_path):
     p = config.parse([
         "--cmd", "randomwalk", "--input", karate_path, "--output", str(tmp_path),
