@@ -353,44 +353,79 @@ def quality_probe() -> dict:
             "graph": f"planted {K}-community SBM, {V} V / {g.num_edges} arcs"}
 
 
+def _phase(name: str, fn, *args, timeout: float | None = None, **kwargs):
+    """Run one bench phase; a failure records the error under PARTIAL[name] and
+    returns None instead of killing the whole bench (the tunneled TPU transport
+    can fault on one workload and still serve the others). With `timeout`, the
+    phase runs in a worker thread and is abandoned (thread left blocked, result
+    discarded) if it wedges — a stuck TPU dispatch never returns, and later
+    CPU-subprocess phases can still produce numbers."""
+    box: dict = {}
+
+    def run():
+        try:
+            box["r"] = fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            box["e"] = f"{type(e).__name__}: {e}"[:500]
+
+    if timeout is None:
+        run()
+    else:
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            box["e"] = f"TIMEOUT after {timeout:.0f}s (wedged dispatch?)"
+    if "e" in box:
+        PARTIAL[name] = {"ERROR": box["e"]}
+        sys.stderr.write(f"[bench] phase {name} failed: {box['e']}\n")
+        return None
+    PARTIAL[name] = box.get("r")
+    return box.get("r")
+
+
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
+    t_tpu = float(os.environ.get("BENCH_PHASE_TIMEOUT_S", 1200))
     graph = synth_power_law_graph(10_000, 334_000)
-    tpu = PARTIAL["walk_10k"] = measure_walk_throughput(graph)
-    sol = PARTIAL["speed_of_light_10k"] = speed_of_light(
-        graph, tpu["steps_per_s_pipelined"])
+    tpu = _phase("walk_10k", measure_walk_throughput, graph, timeout=t_tpu)
+    if tpu:
+        _phase("speed_of_light_10k", speed_of_light,
+               graph, tpu["steps_per_s_pipelined"])
+    _phase("sgns_samples_per_s", measure_sgns_samples_per_s, timeout=t_tpu)
+    _phase("quality_probe", quality_probe, timeout=t_tpu)
     # HBM-regime measurement: tables too large for VMEM staging — 1M vertices,
-    # ~32M arcs, one walker per vertex.
-    big = synth_power_law_graph(1_000_000, 16_000_000, seed=1)
-    tpu_big = PARTIAL["walk_1m_hbm"] = measure_walk_throughput(big, rounds=3)
-    sol_big = PARTIAL["speed_of_light_1m"] = speed_of_light(
-        big, tpu_big["steps_per_s_pipelined"])
-    sgns = PARTIAL["sgns_samples_per_s"] = measure_sgns_samples_per_s()
-    quality = PARTIAL["quality_probe"] = quality_probe()
-    scaling = PARTIAL["cpu_mesh_scaling"] = cpu_mesh_scaling()
-    cpu_steps = cpu_reference_steps_per_s()
+    # ~32M arcs, one walker per vertex. Runs LAST among device phases: this is
+    # the workload most likely to fault/wedge the tunneled transport (observed
+    # 2026-08-21: UNAVAILABLE device error here, then every later dispatch hung),
+    # and the phases below it run on CPU subprocesses that survive a dead TPU.
+    hbm_v = int(os.environ.get("BENCH_HBM_V", 1_000_000))
+    big = synth_power_law_graph(hbm_v, 16 * hbm_v, seed=1)
+    tpu_big = _phase("walk_1m_hbm", measure_walk_throughput, big, rounds=3,
+                     timeout=t_tpu)
+    if tpu_big:
+        _phase("speed_of_light_1m", speed_of_light,
+               big, tpu_big["steps_per_s_pipelined"])
+    del big
+    _phase("cpu_mesh_scaling", cpu_mesh_scaling)
+    cpu_steps = _phase("cpu_2core_steps_per_s", cpu_reference_steps_per_s)
     # 2-core host -> x8 approximates the 16-core Spark host; x10 = the target
     baseline = 10.0 * 8.0 * cpu_steps if cpu_steps else None
     # headline: the pipelined number, but never more than 1.15x what the
     # per-round blocked evidence supports (guards against unserialized dispatch)
-    headline = min(tpu["steps_per_s_pipelined"], 1.15 * tpu["steps_per_s_blocked"])
+    headline = min(tpu["steps_per_s_pipelined"],
+                   1.15 * tpu["steps_per_s_blocked"]) if tpu else None
     result = {
         "metric": "walk_steps_per_s_per_chip",
-        "value": round(headline, 1),
+        "value": round(headline, 1) if headline else None,
         "unit": "steps/s",
-        "vs_baseline": round(headline / baseline, 3) if baseline else None,
+        "vs_baseline": round(headline / baseline, 3)
+                       if (headline and baseline) else None,
         "extras": {
             "workload": "synthetic BlogCatalog-shape 10K V / ~668K arcs, node2vec "
                         "p=q=0.25, L=80, rejection sampler",
-            "walk_10k": tpu,
-            "speed_of_light_10k": sol,
-            "walk_1m_hbm": tpu_big,
-            "speed_of_light_1m": sol_big,
-            "sgns_samples_per_s": sgns,
-            "quality_probe": quality,
-            "cpu_mesh_scaling": scaling,
-            "cpu_2core_steps_per_s": round(cpu_steps, 1) if cpu_steps else None,
             "baseline_def": "10x (8x measured 2-core XLA-CPU engine) ~= 10x 16-core host",
+            **PARTIAL,
         },
     }
     print(json.dumps(result))

@@ -50,6 +50,16 @@ class DeviceGraph(NamedTuple):
     hash_offsets: jax.Array  # i32[V] base of each vertex's membership table
     hash_mask: jax.Array     # i32[V] table size - 1 (power of two)
     hash_table: jax.Array    # i32[H] neighbor ids, -1 = empty
+    # Packed fast-path tables (pack_tables_host; None = use the unpacked arrays).
+    # Random-gather TRANSACTIONS dominate walk-step cost on HBM-resident graphs,
+    # so pairs that are always read together are packed into [*, 2] rows (one
+    # 8-byte slice gather instead of two 4-byte gathers) and the hash tables are
+    # padded so the HASH_PROBES probe window is contiguous (one 16-byte slice
+    # gather instead of four): 11 transactions/step -> 5.
+    row_meta: jax.Array | None = None      # i32[V,2] (row start, degree)
+    hash_meta: jax.Array | None = None     # i32[V,2] (padded table base, mask)
+    alias_packed: jax.Array | None = None  # i32[E,2] (prob bits, alias pos)
+    hash_pad: jax.Array | None = None      # i32[H+3V] tables with wrap pad
 
     @property
     def num_vertices(self) -> int:
@@ -60,11 +70,53 @@ class DeviceGraph(NamedTuple):
         return self.cols.shape[0]
 
 
-def device_put_graph(graph, device=None) -> DeviceGraph:
-    """Upload a host CSRGraph (graph/csr.py) to device HBM."""
+def pack_tables_host(offsets, alias_prob, alias_pos, hash_offsets, hash_mask,
+                     hash_table):
+    """Build the packed fast-path tables (see DeviceGraph) on host, vectorized.
+
+    hash_offsets is the host [V+1] cumulative layout. The padded table duplicates
+    each per-vertex table's first HASH_PROBES-1 slots after its end, so the probe
+    window [base + (h & mask), +HASH_PROBES) reads exactly the slots the wrapped
+    probes (h+i) & mask would (table sizes are >= 8 > HASH_PROBES, csr.py).
+    Returns (row_meta, alias_packed, hash_meta, hash_pad) or None when packing is
+    not applicable (empty graph, or layouts too large for i32 indexing).
+    """
+    V = len(offsets) - 1
+    E = len(alias_pos) if alias_pos is not None else 0
+    if V == 0 or E == 0:
+        return None
+    pad = HASH_PROBES - 1
+    total = int(hash_offsets[-1])
+    if total + pad * V >= 2**31 or int(offsets[-1]) >= 2**31:
+        return None
+    deg = offsets[1:] - offsets[:-1]
+    row_meta = np.stack([offsets[:-1], deg], 1).astype(np.int32)
+    prob_bits = np.ascontiguousarray(alias_prob, dtype=np.float32).view(np.int32)
+    alias_packed = np.stack([prob_bits, alias_pos.astype(np.int32)], 1)
+    sizes = hash_mask.astype(np.int64) + 1
+    base = hash_offsets[:-1].astype(np.int64)
+    new_base = base + pad * np.arange(V, dtype=np.int64)
+    hash_pad = np.empty(total + pad * V, dtype=np.int32)
+    vertex_of = np.repeat(np.arange(V, dtype=np.int64), sizes)
+    hash_pad[np.arange(total, dtype=np.int64) + pad * vertex_of] = hash_table
+    for i in range(pad):  # duplicate first slots after each table (sizes >= 8 > pad)
+        hash_pad[new_base + sizes + i] = hash_table[base + i]
+    hash_meta = np.stack([new_base, hash_mask.astype(np.int64)], 1).astype(np.int32)
+    return row_meta, alias_packed, hash_meta, hash_pad
+
+
+def device_put_graph(graph, device=None, packed: bool = True) -> DeviceGraph:
+    """Upload a host CSRGraph (graph/csr.py) to device HBM.
+
+    packed=True additionally uploads the packed fast-path tables (the production
+    rejection sampler then needs 5 random HBM transactions per step instead of 11;
+    results are bitwise identical either way)."""
     graph.build_alias_tables()
     graph.build_hash_tables()
     put = lambda x, dt: jax.device_put(jnp.asarray(x, dtype=dt), device)
+    pk = pack_tables_host(
+        graph.offsets, graph.alias_prob, graph.alias_pos,
+        graph.hash_offsets, graph.hash_mask, graph.hash_table) if packed else None
     return DeviceGraph(
         offsets=put(graph.offsets, jnp.int32),
         cols=put(graph.cols, jnp.int32),
@@ -74,6 +126,10 @@ def device_put_graph(graph, device=None) -> DeviceGraph:
         hash_offsets=put(graph.hash_offsets[:-1], jnp.int32),
         hash_mask=put(graph.hash_mask, jnp.int32),
         hash_table=put(graph.hash_table, jnp.int32),
+        row_meta=put(pk[0], jnp.int32) if pk else None,
+        alias_packed=put(pk[1], jnp.int32) if pk else None,
+        hash_meta=put(pk[2], jnp.int32) if pk else None,
+        hash_pad=put(pk[3], jnp.int32) if pk else None,
     )
 
 
@@ -283,26 +339,51 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     # varying-manual-axes type as the loop outputs under shard_map
     dead_dst = cur_row * 0
     pick = gather if gather is not None else (lambda u: u)
+    packed = g.row_meta is not None
 
     # hoist per-walker row metadata out of the candidate loop: these gathers are
-    # invariant across rounds (4 fewer random accesses per candidate)
-    row_start = g.offsets[cur_row]
-    row_deg = g.offsets[cur_row + 1] - row_start
-    hash_base = g.hash_offsets[prev_row]
-    hash_mask = g.hash_mask[prev_row]
+    # invariant across rounds (4 fewer random accesses per candidate). The packed
+    # tables serve each pair with ONE 8-byte slice gather instead of two.
+    if packed:
+        rm = g.row_meta[cur_row]
+        row_start, row_deg = rm[:, 0], rm[:, 1]
+        hm = g.hash_meta[prev_row]
+        hash_base, hash_mask = hm[:, 0], hm[:, 1]
+    else:
+        row_start = g.offsets[cur_row]
+        row_deg = g.offsets[cur_row + 1] - row_start
+        hash_base = g.hash_offsets[prev_row]
+        hash_mask = g.hash_mask[prev_row]
+
+    def _membership(cand):
+        """cand in N(prev): 4 probe slots as one contiguous window gather on the
+        padded tables (packed), else HASH_PROBES separate gathers."""
+        h = (cand.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
+        if packed:
+            start = hash_base + (h & hash_mask)
+            win = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(g.hash_pad, (s,), (HASH_PROBES,))
+            )(start)
+            return jnp.any(win == cand[:, None], axis=1)
+        member = None
+        for i in range(HASH_PROBES):
+            hit = g.hash_table[hash_base + ((h + i) & hash_mask)] == cand
+            member = hit if member is None else (member | hit)
+        return member
 
     def draw_one(j):
         u_pos, u_keep, u_acc = (pick(u) for u in draw_uniforms(j))
         jpos = jnp.minimum((u_pos * row_deg.astype(u_pos.dtype)).astype(jnp.int32),
                            jnp.maximum(row_deg - 1, 0))
         k = jnp.clip(row_start + jpos, 0, max(E - 1, 0))
-        pos = jnp.where(u_keep < g.alias_prob[k], jpos, g.alias_pos[k])
+        if packed:
+            apk = g.alias_packed[k]
+            aprob = jax.lax.bitcast_convert_type(apk[:, 0], jnp.float32)
+            pos = jnp.where(u_keep < aprob, jpos, apk[:, 1])
+        else:
+            pos = jnp.where(u_keep < g.alias_prob[k], jpos, g.alias_pos[k])
         cand = g.cols[jnp.clip(row_start + pos, 0, max(E - 1, 0))]
-        h = (cand.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
-        member = None
-        for i in range(HASH_PROBES):
-            hit = g.hash_table[hash_base + ((h + i) & hash_mask)] == cand
-            member = hit if member is None else (member | hit)
+        member = _membership(cand)
         one = jnp.float32(1.0)
         f = jnp.where(cand == prev_id, one / p, jnp.where(member, one, one / q))
         return cand, u_acc * max_f < f

@@ -1,0 +1,72 @@
+"""Packed fast-path tables (ops/sampling.pack_tables_host + rejection_sample).
+
+The packed tables change only HOW bytes are fetched (5 random HBM transactions
+per walk step instead of 11), never WHAT is sampled: the same counter-based
+uniform streams drive the same alias/acceptance decisions, so corpora must be
+bitwise identical packed vs unpacked.
+"""
+
+import numpy as np
+import pytest
+
+from stellar_rw_tpu.graph.csr import from_edge_arrays
+from stellar_rw_tpu.ops import sampling
+from stellar_rw_tpu.walk import engine
+
+
+def _random_graph(V=300, E=3000, seed=3, weighted=True):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    keep = src != dst
+    w = rng.uniform(0.2, 3.0, keep.sum()).astype(np.float32) if weighted else None
+    return from_edge_arrays(src[keep], dst[keep], weights=w, num_vertices=V,
+                            symmetrize=True)
+
+
+def test_pack_tables_window_equals_wrapped_probes():
+    """Every padded-window probe set must equal the wrapped (h+i)&mask probes."""
+    g = _random_graph()
+    g.build_hash_tables()
+    pk = sampling.pack_tables_host(g.offsets, np.ones(g.num_edges, np.float32),
+                                   np.zeros(g.num_edges, np.int32),
+                                   g.hash_offsets, g.hash_mask, g.hash_table)
+    assert pk is not None
+    _, _, hash_meta, hash_pad = pk
+    V = g.num_vertices
+    for v in range(0, V, 17):
+        base = int(g.hash_offsets[v])
+        mask = int(g.hash_mask[v])
+        nbase = int(hash_meta[v, 0])
+        assert int(hash_meta[v, 1]) == mask
+        for h in range(mask + 1):
+            wrapped = [g.hash_table[base + ((h + i) & mask)] for i in range(4)]
+            window = hash_pad[nbase + h: nbase + h + 4]
+            assert list(window) == [int(x) for x in wrapped], (v, h)
+
+
+@pytest.mark.parametrize("p,q", [(0.25, 4.0), (1.0, 1.0)])
+def test_packed_corpus_bitwise_identical(p, q):
+    graph = _random_graph()
+    dg_packed = sampling.device_put_graph(graph)
+    assert dg_packed.row_meta is not None  # packed is the default
+    dg_plain = sampling.device_put_graph(graph, packed=False)
+    assert dg_plain.row_meta is None
+    kw = dict(walk_length=15, num_walks=3, p=p, q=q, seed=11,
+              sampler="rejection")
+    a = engine.random_walks(graph, device_graph=dg_packed, **kw)
+    b = engine.random_walks(graph, device_graph=dg_plain, **kw)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_packed_alias_bits_roundtrip():
+    graph = _random_graph(weighted=True)
+    graph.build_alias_tables()
+    graph.build_hash_tables()
+    pk = sampling.pack_tables_host(graph.offsets, graph.alias_prob,
+                                   graph.alias_pos, graph.hash_offsets,
+                                   graph.hash_mask, graph.hash_table)
+    _, alias_packed, _, _ = pk
+    np.testing.assert_array_equal(alias_packed[:, 0].view(np.float32),
+                                  graph.alias_prob)
+    np.testing.assert_array_equal(alias_packed[:, 1], graph.alias_pos)
