@@ -46,6 +46,12 @@ class ShardedGraphHost:
     glob2loc: np.ndarray     # i32[S, V]
     num_owned: np.ndarray    # i32[S]
     num_local: np.ndarray    # i32[S] (owned + halo)
+    # Packed fast-path tables per shard (ops/sampling.pack_tables_host semantics,
+    # stacked and padded; None when packing was not applicable on some shard).
+    row_meta: np.ndarray | None = None      # i32[S, R_max, 2]
+    hash_meta: np.ndarray | None = None     # i32[S, R_max, 2]
+    alias_packed: np.ndarray | None = None  # i32[S, E_max, 2]
+    hash_pad: np.ndarray | None = None      # i32[S, H_max + 3*R_max]
 
     @property
     def replication_factor(self) -> float:
@@ -153,8 +159,41 @@ def partition_graph(graph: CSRGraph, num_shards: int,
         if H_s:
             _fill(graph.hash_offsets[:-1][rows], hs, graph.hash_table, htab[s])
 
+    # Per-shard packed fast-path tables (same transaction-count win as the
+    # single-chip engine; ops/sampling.pack_tables_host). Any shard where packing
+    # is inapplicable disables it for all (the device graph must be uniform).
+    from ..ops.sampling import HASH_PROBES, pack_tables_host
+    pad = HASH_PROBES - 1
+    row_meta = np.zeros((S, R_max, 2), dtype=np.int32)
+    hash_meta = np.zeros((S, R_max, 2), dtype=np.int32)
+    alias_packed = np.zeros((S, E_max, 2), dtype=np.int32)
+    hash_pad = np.full((S, H_max + pad * R_max), -1, dtype=np.int32)
+    ok = True
+    for s, rows in enumerate(rows_per_shard):
+        R = len(rows)
+        E_s = int(offsets[s, R])
+        H_s = int(hoff[s, R - 1] + hmask[s, R - 1] + 1) if R else 0
+        if R == 0 or E_s == 0:
+            # nothing to sample here: zero row_meta means degree 0 everywhere, so
+            # every local draw is masked; zero hash_meta probes the -1 fill
+            continue
+        pk = pack_tables_host(
+            offsets[s, :R + 1], aprob[s, :E_s], apos[s, :E_s],
+            np.concatenate([hoff[s, :R], [H_s]]), hmask[s, :R], htab[s, :H_s])
+        if pk is None:
+            ok = False
+            break
+        row_meta[s, :R] = pk[0]
+        alias_packed[s, :E_s] = pk[1]
+        hash_meta[s, :R] = pk[2]
+        hash_pad[s, :H_s + pad * R] = pk[3]
+    if not ok:
+        row_meta = hash_meta = alias_packed = hash_pad = None
+
     return ShardedGraphHost(
         num_shards=S, route=route, offsets=offsets, cols=cols, weights=weights,
         alias_prob=aprob, alias_pos=apos, hash_offsets=hoff, hash_mask=hmask,
         hash_table=htab, glob2loc=glob2loc,
-        num_owned=num_owned, num_local=num_local)
+        num_owned=num_owned, num_local=num_local,
+        row_meta=row_meta, hash_meta=hash_meta,
+        alias_packed=alias_packed, hash_pad=hash_pad)

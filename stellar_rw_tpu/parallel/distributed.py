@@ -88,10 +88,12 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
     L = spec.walk_length
 
     def shard_fn(offsets, cols, weights, aprob, apos, hoff, hmask, htab,
-                 glob2loc, route, starts_s, key, round_offset):
+                 glob2loc, packed, route, starts_s, key, round_offset):
+        pk = {f: packed[f][0] for f in packed} if packed else {}
         g = DeviceGraph(offsets=offsets[0].astype(jnp.int32), cols=cols[0],
                         weights=weights[0], alias_prob=aprob[0], alias_pos=apos[0],
-                        hash_offsets=hoff[0], hash_mask=hmask[0], hash_table=htab[0])
+                        hash_offsets=hoff[0], hash_mask=hmask[0], hash_table=htab[0],
+                        **pk)
         g2l = glob2loc[0]
         my = jax.lax.axis_index(AXIS).astype(jnp.int32)
         # shard s owns global walker ids [s*n, (s+1)*n); walker (round r, start w)
@@ -225,7 +227,7 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
                   P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                  P(AXIS, None), P(None), P(AXIS), P(None), P()),
+                  P(AXIS, None), P(AXIS), P(None), P(AXIS), P(None), P()),
         out_specs=(P(AXIS, None), P(None, None)))
     return fn(*arrays, route, starts_pad, key, round_offset)
 
@@ -244,10 +246,19 @@ def _shard_slice_of_tiled(starts_s, gids, W_pad: int, S: int):
 
 
 def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
-    """Upload stacked shard arrays, sharded on the leading axis, route replicated."""
+    """Upload stacked shard arrays, sharded on the leading axis, route replicated.
+
+    The last arrays entry is the packed fast-path table dict ({} when the
+    partitioner could not pack) — see ops/sampling.DeviceGraph."""
     shard = jax.sharding.NamedSharding(mesh, P(AXIS))
     repl = jax.sharding.NamedSharding(mesh, P(None))
     put = lambda x, dt, s: jax.device_put(jnp.asarray(x, dtype=dt), s)
+    packed = {} if hsg.row_meta is None else {
+        "row_meta": put(hsg.row_meta, jnp.int32, shard),
+        "hash_meta": put(hsg.hash_meta, jnp.int32, shard),
+        "alias_packed": put(hsg.alias_packed, jnp.int32, shard),
+        "hash_pad": put(hsg.hash_pad, jnp.int32, shard),
+    }
     arrays = (
         put(hsg.offsets, jnp.int32, shard),
         put(hsg.cols, jnp.int32, shard),
@@ -258,6 +269,7 @@ def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
         put(hsg.hash_mask, jnp.int32, shard),
         put(hsg.hash_table, jnp.int32, shard),
         put(hsg.glob2loc, jnp.int32, shard),
+        packed,
     )
     route = put(hsg.route, jnp.int32, repl)
     return arrays, route

@@ -97,6 +97,12 @@ def device_put_sharded_graph(hsg, mesh):
     from jax.sharding import PartitionSpec as P
 
     put = lambda a, dt, sp: _put_global(np.asarray(a, dtype=dt), mesh, sp)
+    packed = {} if hsg.row_meta is None else {
+        "row_meta": put(hsg.row_meta, np.int32, P(AXIS)),
+        "hash_meta": put(hsg.hash_meta, np.int32, P(AXIS)),
+        "alias_packed": put(hsg.alias_packed, np.int32, P(AXIS)),
+        "hash_pad": put(hsg.hash_pad, np.int32, P(AXIS)),
+    }
     arrays = (
         put(hsg.offsets, np.int32, P(AXIS)),
         put(hsg.cols, np.int32, P(AXIS)),
@@ -107,6 +113,7 @@ def device_put_sharded_graph(hsg, mesh):
         put(hsg.hash_mask, np.int32, P(AXIS)),
         put(hsg.hash_table, np.int32, P(AXIS)),
         put(hsg.glob2loc, np.int32, P(AXIS)),
+        packed,
     )
     route = put(hsg.route, np.int32, P(None))
     return arrays, route

@@ -70,3 +70,38 @@ def test_packed_alias_bits_roundtrip():
     np.testing.assert_array_equal(alias_packed[:, 0].view(np.float32),
                                   graph.alias_prob)
     np.testing.assert_array_equal(alias_packed[:, 1], graph.alias_pos)
+
+
+def test_distributed_packed_matches_unpacked():
+    """The sharded engine must produce the same corpus whether or not the
+    partitioner's packed fast-path tables are uploaded."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from stellar_rw_tpu.graph.partition import partition_graph
+    from stellar_rw_tpu.parallel import distributed
+    from stellar_rw_tpu.walk.engine import WalkSpec
+
+    graph = _random_graph(V=120, E=900, seed=9)
+    mesh = distributed.make_mesh(4)
+    hsg = partition_graph(graph, 4)
+    assert hsg.row_meta is not None
+    starts = np.arange(120, dtype=np.int32)
+    spec = WalkSpec(walk_length=9, p=0.5, q=2.0, sampler="rejection",
+                    max_degree=max(graph.max_degree, 1),
+                    n_search_iters=sampling.search_iters(graph.max_degree))
+    sh = jax.sharding.NamedSharding(mesh, P(distributed.AXIS))
+    starts_dev = jax.device_put(starts, sh)
+    key = jax.random.PRNGKey(2)
+
+    def corpus(h):
+        arrays, route = distributed.device_put_sharded_graph(h, mesh)
+        paths, _ = distributed.distributed_walk_corpus(
+            arrays, route, starts_dev, key, np.int32(0), spec,
+            num_walks=2, S=4, C=16, mesh=mesh)
+        return np.asarray(paths)
+
+    packed = corpus(hsg)
+    hsg.row_meta = hsg.hash_meta = hsg.alias_packed = hsg.hash_pad = None
+    plain = corpus(hsg)
+    np.testing.assert_array_equal(packed, plain)
