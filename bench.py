@@ -353,6 +353,44 @@ def quality_probe() -> dict:
             "graph": f"planted {K}-community SBM, {V} V / {g.num_edges} arcs"}
 
 
+def pq_sweep(grid=(0.25, 1.0, 4.0)) -> dict:
+    """Embedding quality across the node2vec bias grid (BASELINE.json config 4:
+    the PPI/Wikipedia p/q sweep, on the synthetic SBM fixture). Run via
+    `python bench.py --pq-sweep`; not part of the default one-line bench."""
+    from stellar_rw_tpu.graph.csr import from_edge_arrays
+    from stellar_rw_tpu.models import eval as ev
+    from stellar_rw_tpu.models import word2vec as w2v
+    from stellar_rw_tpu.walk import engine
+
+    rng = np.random.default_rng(7)
+    V, K = 2000, 4
+    labels = np.repeat(np.arange(K), V // K)
+    si = rng.integers(0, V, 24000)
+    di = (si // (V // K)) * (V // K) + rng.integers(0, V // K, 24000)
+    so, do = rng.integers(0, V, 3000), rng.integers(0, V, 3000)
+    src, dst = np.concatenate([si, so]), np.concatenate([di, do])
+    keep = src != dst
+    g = from_edge_arrays(src[keep], dst[keep], num_vertices=V, symmetrize=True)
+    edges = np.stack([src[keep], dst[keep]], 1)
+    out = {}
+    for p in grid:
+        for q in grid:
+            t0 = time.time()
+            walks = engine.random_walks(g, walk_length=40, num_walks=5,
+                                        p=p, q=q, seed=1)
+            cfg = w2v.SGNSConfig(dim=64, window=5, negatives=5, lr=0.1,
+                                 iters=5, seed=1, shared_negatives=128)
+            w_in, _ = w2v.train_skipgram(walks, V, cfg)
+            out[f"p={p},q={q}"] = {
+                "link_pred_auc": round(float(ev.link_prediction_auc(
+                    w_in, edges, V, seed=0)), 4),
+                "community_acc": round(float(ev.node_classification_accuracy(
+                    w_in, labels, train_frac=0.5, seed=0)), 4),
+                "s": round(time.time() - t0, 1),
+            }
+    return out
+
+
 def _phase(name: str, fn, *args, timeout: float | None = None, **kwargs):
     """Run one bench phase; a failure records the error under PARTIAL[name] and
     returns None instead of killing the whole bench (the tunneled TPU transport
@@ -432,4 +470,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--pq-sweep" in sys.argv:
+        print(json.dumps(pq_sweep()))
+    else:
+        main()

@@ -158,6 +158,39 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
         [starts_b[:, None], first[:, None], cols.T.astype(jnp.int32)], axis=1)
 
 
+@jax.jit
+def corpus_invariants(g: DeviceGraph, walks: jax.Array) -> jax.Array:
+    """On-device runtime invariant counters over a dense corpus (SURVEY.md §5.2).
+
+    The reference only warns host-side on invariant violations (walker-count
+    monotonicity RandomWalk.scala:150-153, paths-per-round :164-167); here the
+    stronger properties are counted ON DEVICE as pure functional reductions (no
+    checkify side-band needed — a 12-byte host read replaces error plumbing):
+      [0] bad_arcs: consecutive pairs that are not real arcs (exact neighbor-set
+          membership via the hash tables),
+      [1] resurrected: -1 followed by a live vertex (completion must be monotone),
+      [2] out_of_range: ids outside [-1, V).
+    All zero on a correct corpus. Host wrapper: assert_corpus_invariants.
+    """
+    V = g.num_vertices
+    a, b = walks[:, :-1], walks[:, 1:]
+    valid = (a >= 0) & (b >= 0)
+    member = sampling.in_row_hash(g, jnp.maximum(a, 0), jnp.maximum(b, 0))
+    bad_arcs = jnp.sum(valid & ~member)
+    resurrected = jnp.sum((a < 0) & (b >= 0))
+    oob = jnp.sum((walks >= V) | (walks < -1))
+    return jnp.stack([bad_arcs, resurrected, oob]).astype(jnp.int32)
+
+
+def assert_corpus_invariants(g: DeviceGraph, walks: jax.Array) -> dict:
+    """Raise if the device-side invariant counters are nonzero; returns them."""
+    c = np.asarray(corpus_invariants(g, jnp.asarray(walks)))
+    out = {"bad_arcs": int(c[0]), "resurrected": int(c[1]),
+           "out_of_range": int(c[2])}
+    assert not any(out.values()), f"walk invariant violations: {out}"
+    return out
+
+
 def random_walks(
     graph: CSRGraph,
     walk_length: int,

@@ -79,3 +79,32 @@ def test_validate_walks_invariants(karate_path):
     bad[0, 1] = (bad[0, 0] + 17) % g.num_vertices  # karate: almost surely no arc
     with pytest.raises(AssertionError):
         validate_walks(bad, g)
+
+
+def test_device_corpus_invariants_match_host():
+    """On-device invariant counters (engine.corpus_invariants) agree with the
+    host validator on both a clean corpus and an injected corruption."""
+    import numpy as np
+
+    from stellar_rw_tpu.graph import io as gio
+    from stellar_rw_tpu.ops import sampling
+    from stellar_rw_tpu.utils import stats
+    from stellar_rw_tpu.walk import engine
+    import os
+    karate = os.path.join(os.path.dirname(__file__), "data", "karate.txt")
+    g = gio.load_edge_list(karate)
+    dg = sampling.device_put_graph(g)
+    walks = engine.random_walks(g, walk_length=12, num_walks=2, p=0.5, q=2.0,
+                                seed=4)
+    assert engine.assert_corpus_invariants(dg, walks) == \
+        stats.validate_walks(walks, g)
+    # inject: a non-arc transition, a resurrection, an out-of-range id
+    bad = walks.copy()
+    row = np.flatnonzero((bad[:, 3] >= 0))[0]
+    bad[row, 3] = bad[row, 2]  # self-arc (karate has no self loops)
+    bad[1, 5] = -1
+    if bad[1, 6] < 0:
+        bad[1, 6] = 0          # ensure a resurrection after the -1
+    bad[2, 0] = g.num_vertices + 7
+    c = np.asarray(engine.corpus_invariants(dg, bad))
+    assert c[0] >= 1 and c[1] >= 1 and c[2] >= 1, c
