@@ -53,6 +53,7 @@ def run_walks(graph: CSRGraph, params: Params,
         q=params.q,
         seed=params.seed,
         sampler=params.sampler,
+        rng_impl=params.rng_impl,
     )
     S = num_walk_shards(params)
     if S <= 1:
@@ -101,15 +102,17 @@ def run_node2vec_streaming(graph: CSRGraph, params: Params):
     dg = sampling.device_put_graph(graph)
     sampler, max_rounds = sampling.plan_sampler(
         params.sampler, params.p, params.q)
+    V = graph.num_vertices
     spec = engine.WalkSpec(
         walk_length=params.walk_length, p=float(params.p), q=float(params.q),
         sampler=sampler, max_degree=max(graph.max_degree, 1),
         n_search_iters=sampling.search_iters(graph.max_degree),
         max_rounds=max_rounds,
+        n_stream=V,
+        rng_impl=params.rng_impl,
     )
-    V = graph.num_vertices
     starts = jnp.arange(V, dtype=jnp.int32)
-    base = jax.random.PRNGKey(params.seed)
+    base = sampling.make_key(params.seed, params.rng_impl)
     R = params.num_walks
 
     def make_round(r: int):

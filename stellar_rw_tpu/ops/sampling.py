@@ -281,34 +281,66 @@ def alias_draw(g: DeviceGraph, rows: jax.Array, u_pos: jax.Array, u_keep: jax.Ar
     return g.cols[jnp.clip(s + pos, 0, max(E - 1, 0))]
 
 
-def round_uniforms(step_key: jax.Array, n: int):
-    """Layout-independent per-round uniforms for the rejection sampler.
+DRAW_QUANTUM = 8192
 
-    Returns a function r -> (u_pos, u_keep, u_acc), each 1-D [n]. Drawn as three
-    separate 1-D arrays (NOT one (3, n) array) because threefry's counter is row-major:
-    1-D draws have the prefix property u(n)[i] == u(m)[i] for i < min(n, m), which makes
-    single-chip and sharded/padded walker layouts bitwise identical.
+
+def draw_width(n: int) -> int:
+    """Stream width for rejection-sampler uniforms: the strictly-greater multiple
+    of DRAW_QUANTUM. Every engine draws trial uniforms at shape (3, draw_width(W))
+    for the SAME W (the unpadded start count), so single-chip, batched, and
+    sharded layouts consume bitwise-identical streams without any reliance on the
+    PRNG's counter layout — which in turn allows swapping the threefry impl for
+    the much faster XLA RngBitGenerator ('rbg') keys. The strict inequality
+    guarantees draw_width(W) >= any shard padding ceil(W/S)*S for S < QUANTUM."""
+    return (n // DRAW_QUANTUM + 1) * DRAW_QUANTUM
+
+
+def make_key(seed: int, impl: str = "threefry") -> jax.Array:
+    """Walk-engine PRNG key. 'threefry' = the default counter-based stream
+    (reproducible across platforms). 'rbg' = XLA RngBitGenerator draws with
+    threefry key derivation — ~an order of magnitude cheaper array draws on TPU
+    (the walk engine is PRNG-compute-bound); deterministic for a fixed
+    platform+version, and identical across engines/layouts either way."""
+    if impl in ("threefry", "threefry2x32", None, ""):
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=impl)
+
+
+def round_uniforms(step_key: jax.Array, n: int, n_stream: int | None = None):
+    """Per-trial uniforms for the rejection sampler.
+
+    Returns draw(j) -> (u_pos, u_keep, u_acc), each 1-D [n]: one fused
+    (3, draw_width) array draw per trial j (single fold_in + single generator
+    call — the walk engine is bound by PRNG compute, so fewer/larger draws
+    matter), sliced to the first n lanes. n_stream (default n) is the UNPADDED
+    walker count the stream width is derived from; engines whose batch is padded
+    (sharded W_pad) must pass the unpadded count so all layouts share one width.
     """
-    def draw(r):
-        kr = jax.random.fold_in(step_key, r)
-        return tuple(
-            jax.random.uniform(jax.random.fold_in(kr, i), (n,)) for i in range(3))
+    Wd = draw_width(n_stream if n_stream is not None else n)
+
+    def draw(j):
+        u = jax.random.uniform(jax.random.fold_in(step_key, j), (3, Wd))
+        return u[0, :n], u[1, :n], u[2, :n]
     return draw
 
 
-def round_uniforms_batched(step_keys: jax.Array, n: int):
-    """Batched-rounds variant of round_uniforms: step_keys is a stacked [R, ...] key
-    array (one per walk round); draw(r) returns three 1-D [R*n] arrays where segment
-    r*n:(r+1)*n is bitwise identical to round_uniforms(step_keys[r], n)(r) — so a
-    corpus generated R-rounds-at-a-time matches R separate single-round calls exactly.
+def round_uniforms_batched(step_keys: jax.Array, n: int,
+                           n_stream: int | None = None):
+    """Batched-rounds variant of round_uniforms: step_keys is a stacked [R, ...]
+    key array (one per walk round); draw(j) returns three 1-D [R*n] arrays whose
+    segment r*n:(r+1)*n is bitwise identical to round_uniforms(step_keys[r], n,
+    n_stream)(j) — so a corpus generated R-rounds-at-a-time matches R separate
+    single-round calls exactly, and a sharded engine gathering by global walker
+    id (round r, lane w -> index r*n + w) reads the same values.
     """
-    def draw(r):
-        def one(k):
-            kr = jax.random.fold_in(k, r)
-            return tuple(
-                jax.random.uniform(jax.random.fold_in(kr, i), (n,)) for i in range(3))
-        u = jax.vmap(one)(step_keys)
-        return tuple(x.reshape(-1) for x in u)
+    Wd = draw_width(n_stream if n_stream is not None else n)
+
+    def draw(j):
+        u = jax.vmap(
+            lambda k: jax.random.uniform(jax.random.fold_in(k, j), (3, Wd))
+        )(step_keys)                              # [R, 3, Wd]
+        u = u[:, :, :n].transpose(1, 0, 2)        # [3, R, n] (slice, no gather)
+        return tuple(u[i].reshape(-1) for i in range(3))
     return draw
 
 

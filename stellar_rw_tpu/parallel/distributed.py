@@ -59,6 +59,17 @@ AXIS = "shards"
 logger = logging.getLogger("stellar_rw_tpu.distributed")
 
 
+def _jax_impl(rng_impl: str) -> str:
+    return "threefry2x32" if rng_impl in ("threefry", "", None) else rng_impl
+
+
+def _key_data(key) -> jax.Array:
+    """Raw uint32 key data for typed or legacy-threefry keys."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(key)
+    return key  # legacy uint32[2] threefry key
+
+
 def make_mesh(num_shards: int | None = None) -> Mesh:
     devs = jax.devices()
     n = num_shards or len(devs)
@@ -88,7 +99,10 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
     L = spec.walk_length
 
     def shard_fn(offsets, cols, weights, aprob, apos, hoff, hmask, htab,
-                 glob2loc, packed, route, starts_s, key, round_offset):
+                 glob2loc, packed, route, starts_s, key_raw, round_offset):
+        # keys travel as raw uint32 data (rank-1: shard_map-spec friendly for
+        # every impl) and are re-wrapped here with the spec's PRNG impl
+        key = jax.random.wrap_key_data(key_raw, impl=_jax_impl(spec.rng_impl))
         pk = {f: packed[f][0] for f in packed} if packed else {}
         g = DeviceGraph(offsets=offsets[0].astype(jnp.int32), cols=cols[0],
                         weights=weights[0], alias_prob=aprob[0], alias_pos=apos[0],
@@ -138,7 +152,8 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                         g, cur_row, prev_row, fprev, u, spec.p, spec.q,
                         spec.max_degree, spec.n_search_iters, dt)
             else:
-                draw = sampling.round_uniforms_batched(step_keys(t), W_pad)
+                draw = sampling.round_uniforms_batched(
+                    step_keys(t), W_pad, spec.n_stream or None)
                 if first:
                     u_pos, u_keep, _ = (gather(u) for u in draw(0))
                     dst = sampling.alias_draw(g, cur_row, u_pos, u_keep)
@@ -229,7 +244,7 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                   P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
                   P(AXIS, None), P(AXIS), P(None), P(AXIS), P(None), P()),
         out_specs=(P(AXIS, None), P(None, None)))
-    return fn(*arrays, route, starts_pad, key, round_offset)
+    return fn(*arrays, route, starts_pad, _key_data(key), round_offset)
 
 
 def _shard_slice_of_tiled(starts_s, gids, W_pad: int, S: int):
@@ -328,6 +343,7 @@ def distributed_random_walks(
     capacity: int | None = None,
     verbose: bool = False,
     return_stats: bool = False,
+    rng_impl: str = "threefry",
 ):
     """Sharded corpus generation mirroring engine.random_walks — bitwise identical
     results for any shard count / route / exchange capacity (same counter-based
@@ -360,10 +376,12 @@ def distributed_random_walks(
         n_search_iters=sampling.search_iters(graph.max_degree),
         max_rounds=max_rounds,
         dtype=dtype,
+        n_stream=W,
+        rng_impl=rng_impl,
     )
     starts_dev = jax.device_put(
         jnp.asarray(starts_pad), jax.sharding.NamedSharding(mesh, P(AXIS)))
-    key = jax.random.PRNGKey(seed)
+    key = sampling.make_key(seed, rng_impl)
     paths, diag = distributed_walk_corpus(
         arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C, mesh)
     walks = np.asarray(paths).reshape(num_walks, W_pad, -1)[:, :W].reshape(

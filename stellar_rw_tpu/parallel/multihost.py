@@ -131,6 +131,7 @@ def multihost_random_walks(
     num_shards: int | None = None,
     route: np.ndarray | None = None,
     capacity: int | None = None,
+    rng_impl: str = "threefry",
 ) -> tuple[list[tuple[int, np.ndarray]], np.ndarray]:
     """Sharded corpus across ALL processes' devices; every process receives only
     ITS OWN corpus rows.
@@ -163,9 +164,11 @@ def multihost_random_walks(
         n_search_iters=sampling.search_iters(graph.max_degree),
         max_rounds=max_rounds,
         dtype=dtype,
+        n_stream=W,
+        rng_impl=rng_impl,
     )
     starts_dev = _put_global(starts_pad, mesh, P(AXIS))
-    key = jax.random.PRNGKey(seed)
+    key = sampling.make_key(seed, rng_impl)
     paths, diag = distributed.distributed_walk_corpus(
         arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C,
         mesh)

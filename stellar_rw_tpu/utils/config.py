@@ -71,6 +71,12 @@ class Params:
     streaming: bool = False       # node2vec with one walk round resident at a
     #                               time (rounds regenerated per epoch from the
     #                               counter-based streams; bounded memory)
+    rng_impl: str = "threefry"    # walk-engine PRNG: "threefry" (cross-platform
+    #                               reproducible streams) | "rbg" (XLA
+    #                               RngBitGenerator: ~10x cheaper array draws on
+    #                               TPU; deterministic per platform+version).
+    #                               Either way all engines/layouts are bitwise
+    #                               identical to each other.
 
     def __str__(self) -> str:  # reference AbstractParams.scala:39-52 pretty-print
         d = dataclasses.asdict(self)
@@ -144,6 +150,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--streaming", type=_bool, default=d.streaming,
                     help="node2vec with one walk round in memory at a time "
                          "(rounds regenerated deterministically per epoch)")
+    ap.add_argument("--rngImpl", choices=["threefry", "rbg", "unsafe_rbg"],
+                    default=d.rng_impl, dest="rngImpl",
+                    help="walk-engine PRNG: threefry (cross-platform streams) "
+                         "or rbg (hardware-rate XLA generator)")
     return ap
 
 
@@ -165,7 +175,7 @@ def parse(argv: list[str]) -> Params | None:
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
         shared_negatives=ns.sharedNegatives, w2v_model_shards=ns.w2vModelShards,
         log_dir=ns.logDir, profile_dir=ns.profile, validate=ns.validate,
-        streaming=ns.streaming,
+        streaming=ns.streaming, rng_impl=ns.rngImpl,
     )
 
 

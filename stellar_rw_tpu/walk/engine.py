@@ -43,6 +43,11 @@ class WalkSpec(NamedTuple):
     max_rounds: int = 16         # rejection-sampler round cap
     k_candidates: int = 4        # candidates evaluated per rejection round
     dtype: str = "float32"       # CDF accumulation dtype ("float64" for oracle parity)
+    n_stream: int = 0            # unpadded walker count the uniform-stream width
+    #                              derives from (0 = use the batch size); sharded
+    #                              engines set it so padded layouts share streams
+    rng_impl: str = "threefry"   # 'threefry' (cross-platform streams) or 'rbg'
+    #                              (XLA RngBitGenerator: ~10x cheaper draws)
 
 
 def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
@@ -56,7 +61,8 @@ def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
     else:
         dst = sampling.rejection_sample(
             g, cur, prev, prev, alive,
-            sampling.round_uniforms(step_key, cur.shape[0]),
+            sampling.round_uniforms(step_key, cur.shape[0],
+                                    spec.n_stream or None),
             spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
             k_candidates=spec.k_candidates)
     return dst
@@ -69,7 +75,8 @@ def first_step(g: DeviceGraph, spec: WalkSpec, starts, step_key):
         u = jax.random.uniform(step_key, starts.shape, dtype=dt)
         dst = sampling.cdf_sample_first_order(g, starts, u, spec.max_degree, dt)
     else:
-        u_pos, u_keep, _ = sampling.round_uniforms(step_key, starts.shape[0])(0)
+        u_pos, u_keep, _ = sampling.round_uniforms(
+            step_key, starts.shape[0], spec.n_stream or None)(0)
         dst = sampling.alias_draw(g, starts, u_pos, u_keep)
     return dst
 
@@ -130,7 +137,8 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
         dst0 = sampling.cdf_sample_first_order(
             g, starts_b, uniforms_1d(0), spec.max_degree, dt)
     else:
-        u_pos, u_keep, _ = sampling.round_uniforms_batched(step_keys(0), W)(0)
+        u_pos, u_keep, _ = sampling.round_uniforms_batched(
+            step_keys(0), W, spec.n_stream or None)(0)
         dst0 = sampling.alias_draw(g, starts_b, u_pos, u_keep)
     first = jnp.where(alive0, dst0, -1)
 
@@ -144,7 +152,8 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
         else:
             dst = sampling.rejection_sample(
                 g, cur, prev, prev, alive,
-                sampling.round_uniforms_batched(step_keys(t), W),
+                sampling.round_uniforms_batched(step_keys(t), W,
+                                                spec.n_stream or None),
                 spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
                 k_candidates=spec.k_candidates)
         out = jnp.where(alive, dst, -1)
@@ -204,6 +213,7 @@ def random_walks(
     device_graph: DeviceGraph | None = None,
     max_batch_walkers: int = 2_000_000,
     as_numpy: bool = True,
+    rng_impl: str = "threefry",
 ) -> np.ndarray:
     """Full corpus: num_walks rounds of one walk per vertex (reference
     RandomWalk.scala:82). Returns [num_walks * W, walk_length + 2] dense ids (-1 pad);
@@ -225,9 +235,11 @@ def random_walks(
         n_search_iters=sampling.search_iters(graph.max_degree),
         max_rounds=max_rounds,
         dtype=dtype,
+        n_stream=len(starts),
+        rng_impl=rng_impl,
     )
     starts_dev = jnp.asarray(starts, dtype=jnp.int32)
-    base = jax.random.PRNGKey(seed)
+    base = sampling.make_key(seed, rng_impl)
     W = len(starts)
     per_batch = max(1, min(num_walks, max_batch_walkers // max(W, 1)))
     rounds = []

@@ -165,3 +165,20 @@ def test_partitioner_scales(karate_path):
         gc, gw = g.neighbors(int(v))
         np.testing.assert_array_equal(hsg.cols[s, a:b], gc)
         np.testing.assert_array_equal(hsg.weights[s, a:b], gw)
+
+
+def test_rbg_impl_shard_invariance(karate_path):
+    """The fast 'rbg' PRNG must keep the cross-engine / any-layout bitwise
+    guarantee: same corpus at 1, 2, 8 shards and on the single-chip engine."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    ref = engine.random_walks(g, walk_length=11, num_walks=2, p=0.5, q=2.0,
+                              seed=3, rng_impl="rbg")
+    assert not np.array_equal(
+        ref, engine.random_walks(g, walk_length=11, num_walks=2, p=0.5, q=2.0,
+                                 seed=3, rng_impl="threefry")), \
+        "rbg must actually change the stream"
+    for S in (2, 8):
+        w = distributed.distributed_random_walks(
+            g, walk_length=11, num_walks=2, p=0.5, q=2.0, seed=3,
+            num_shards=S, rng_impl="rbg")
+        np.testing.assert_array_equal(w, ref, err_msg=f"S={S}")
