@@ -344,99 +344,179 @@ def round_uniforms_batched(step_keys: jax.Array, n: int,
     return draw
 
 
+DENSE_TRIALS = 2      # full-width trials before straggler compaction
+TAIL_K = 2            # trials per compacted tail round
+TAIL_FRAC = 16        # tail buffer = walkers / TAIL_FRAC (floor 256)
+
+
 def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
                      prev_id: jax.Array, alive: jax.Array,
                      draw_uniforms, p: float, q: float, n_iters: int = 0,
                      max_rounds: int = 16, gather=None, k_candidates: int = 4) -> jax.Array:
-    """Second-order draw by alias candidate + bias acceptance.
+    """Second-order draw by alias candidate + bias acceptance, with straggler
+    compaction.
 
     Exact node2vec distribution: candidate ∝ w, accept with prob f/max_f, so accepted
     ∝ w·f — the distribution the reference materializes explicitly
-    (RandomSample.scala:27-44). Each while-loop round evaluates k_candidates
-    independent candidates per still-unaccepted walker and keeps the FIRST accepted
-    one (per-walker decisions stay elementwise -> still layout-independent); batching
-    cuts the sequential tail where one straggler walker keeps the whole chip looping.
-    Walkers not accepted after max_rounds·k_candidates trials keep their last
-    candidate (probability (1-min_accept)^(rounds·K), negligible for p,q in [1/4,4]).
+    (RandomSample.scala:27-44).
+
+    Trial schedule (the key TPU cost shape): a walker's result depends ONLY on its
+    per-gid uniform stream and the trial index at which it first accepts, so the
+    schedule can be executed at any width without changing results. Walk steps are
+    gather-rate-bound (measured ~1.5e8 random-gathered elems/s on v5e) and low-
+    acceptance stragglers (bias-class f/max_f as low as min_f/max_f) would hold
+    every lane hostage for tens of full-width rounds. So:
+      phase 1: DENSE_TRIALS trials at full width (clears the typical >95%);
+      phase 2: still-unaccepted walkers are compacted into a width/TAIL_FRAC
+        buffer (overflow: extra dense rounds first — rare, exactness preserved)
+        and finish their schedule at narrow width, TAIL_K trials per round.
+    Walkers not accepted after max_rounds*k_candidates total trials keep their
+    last candidate (probability (1-min_accept)^budget, negligible for p,q in
+    [1/4, 4]; plan_sampler switches to the exact CDF beyond ratio 32).
 
     draw_uniforms(j) yields the j-th uniform triple (see round_uniforms); `gather`
     maps each drawn 1-D array onto the walker batch (distributed shards pass a
     gid-gather so every walker consumes the same stream regardless of which shard
-    samples it). n_iters retained for signature stability.
+    samples it). n_iters retained for signature stability; k_candidates scales the
+    total trial budget.
     """
     max_f = max(1.0 / p, 1.0, 1.0 / q)
-    K = k_candidates
+    max_trials = max_rounds * k_candidates
     E = g.num_edges
     # derive from cur_row (not a fresh constant) so the carry keeps the same
     # varying-manual-axes type as the loop outputs under shard_map
     dead_dst = cur_row * 0
+    W = cur_row.shape[0]
     pick = gather if gather is not None else (lambda u: u)
     packed = g.row_meta is not None
 
     # hoist per-walker row metadata out of the candidate loop: these gathers are
-    # invariant across rounds (4 fewer random accesses per candidate). The packed
+    # invariant across trials (4 fewer random accesses per candidate). The packed
     # tables serve each pair with ONE 8-byte slice gather instead of two.
     if packed:
         rm = g.row_meta[cur_row]
         row_start, row_deg = rm[:, 0], rm[:, 1]
-        hm = g.hash_meta[prev_row]
-        hash_base, hash_mask = hm[:, 0], hm[:, 1]
+        hmeta = g.hash_meta[prev_row]
+        hash_base, hash_mask = hmeta[:, 0], hmeta[:, 1]
     else:
         row_start = g.offsets[cur_row]
         row_deg = g.offsets[cur_row + 1] - row_start
         hash_base = g.hash_offsets[prev_row]
         hash_mask = g.hash_mask[prev_row]
 
-    def _membership(cand):
+    def membership(cand, hb, hm):
         """cand in N(prev): 4 probe slots as one contiguous window gather on the
         padded tables (packed), else HASH_PROBES separate gathers."""
         h = (cand.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
         if packed:
-            start = hash_base + (h & hash_mask)
+            start = hb + (h & hm)
             win = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(g.hash_pad, (s,), (HASH_PROBES,))
             )(start)
             return jnp.any(win == cand[:, None], axis=1)
         member = None
         for i in range(HASH_PROBES):
-            hit = g.hash_table[hash_base + ((h + i) & hash_mask)] == cand
+            hit = g.hash_table[hb + ((h + i) & hm)] == cand
             member = hit if member is None else (member | hit)
         return member
 
-    def draw_one(j):
-        u_pos, u_keep, u_acc = (pick(u) for u in draw_uniforms(j))
-        jpos = jnp.minimum((u_pos * row_deg.astype(u_pos.dtype)).astype(jnp.int32),
-                           jnp.maximum(row_deg - 1, 0))
-        k = jnp.clip(row_start + jpos, 0, max(E - 1, 0))
+    def trial(j, rs, rd, hb, hm, pi, sel):
+        """Trial j for the (sub)batch with row starts rs, degrees rd, hash meta
+        (hb, hm), prev ids pi; sel maps a full-width uniform stream onto the
+        batch. A walker's (cand, accept) depends only on its own stream value at
+        trial j — never on batch width or position — so the schedule can run
+        densely or compacted with identical results."""
+        u_pos, u_keep, u_acc = (sel(u) for u in draw_uniforms(j))
+        jpos = jnp.minimum((u_pos * rd.astype(u_pos.dtype)).astype(jnp.int32),
+                           jnp.maximum(rd - 1, 0))
+        k = jnp.clip(rs + jpos, 0, max(E - 1, 0))
         if packed:
             apk = g.alias_packed[k]
             aprob = jax.lax.bitcast_convert_type(apk[:, 0], jnp.float32)
             pos = jnp.where(u_keep < aprob, jpos, apk[:, 1])
         else:
             pos = jnp.where(u_keep < g.alias_prob[k], jpos, g.alias_pos[k])
-        cand = g.cols[jnp.clip(row_start + pos, 0, max(E - 1, 0))]
-        member = _membership(cand)
+        cand = g.cols[jnp.clip(rs + pos, 0, max(E - 1, 0))]
+        member = membership(cand, hb, hm)
         one = jnp.float32(1.0)
-        f = jnp.where(cand == prev_id, one / p, jnp.where(member, one, one / q))
+        f = jnp.where(cand == pi, one / p, jnp.where(member, one, one / q))
         return cand, u_acc * max_f < f
 
-    def cond(carry):
-        accepted, _, _, r = carry
-        return (r < max_rounds) & ~jnp.all(accepted)
+    def fold(state, cand, acc):
+        """First-accept-wins bookkeeping for one trial."""
+        accepted, dst, cand_last = state
+        take = acc & ~accepted
+        dst = jnp.where(take, cand, dst)
+        cand_last = jnp.where(~accepted & ~acc, cand, cand_last)
+        return accepted | acc, dst, cand_last
 
-    def body(carry):
-        accepted, dst, cand_last, r = carry
-        chosen = dead_dst
-        got = jnp.zeros_like(accepted) & False
-        for k in range(K):
-            cand, acc = draw_one(r * K + k)
-            take = acc & ~got
-            chosen = jnp.where(take, cand, chosen)
-            got = got | acc
-            cand_last = jnp.where(~accepted & ~got, cand, cand_last)
-        dst = jnp.where(~accepted & got, chosen, dst)
-        return accepted | got, dst, cand_last, r + 1
+    # phase 1: DENSE_TRIALS full-width trials (clears the typical bulk)
+    state = (~alive, dead_dst, dead_dst)
+    for j in range(min(DENSE_TRIALS, max_trials)):
+        state = fold(state, *trial(j, row_start, row_deg, hash_base, hash_mask,
+                                   prev_id, pick))
+    accepted, dst, cand_last = state
 
-    init = (~alive, dead_dst, dead_dst, jnp.int32(0))
-    accepted, dst, cand_last, _ = jax.lax.while_loop(cond, body, init)
+    s = min(W, max(256, W // TAIL_FRAC))
+    j0 = jnp.int32(min(DENSE_TRIALS, max_trials))
+
+    if s >= W or max_trials <= DENSE_TRIALS:
+        # small batch: finish densely (compaction buys nothing below ~256 lanes)
+        def cond_d(c):
+            (acc, _, _), j = c
+            return (j < max_trials) & ~jnp.all(acc)
+
+        def body_d(c):
+            st, j = c
+            for k in range(TAIL_K):
+                st = fold(st, *trial(j + k, row_start, row_deg, hash_base,
+                                     hash_mask, prev_id, pick))
+            return st, j + TAIL_K
+
+        (accepted, dst, cand_last), _ = jax.lax.while_loop(
+            cond_d, body_d, (state, j0))
+        return jnp.where(accepted, dst, cand_last)
+
+    # phase 2a: rare overflow drain — extra dense rounds until stragglers fit
+    def cond_o(c):
+        (acc, _, _), j = c
+        return (j < max_trials) & \
+            (jnp.sum(alive & ~acc, dtype=jnp.int32) > s)
+
+    def body_o(c):
+        st, j = c
+        for k in range(TAIL_K):
+            st = fold(st, *trial(j + k, row_start, row_deg, hash_base,
+                                 hash_mask, prev_id, pick))
+        return st, j + TAIL_K
+
+    (accepted, dst, cand_last), j_at = jax.lax.while_loop(
+        cond_o, body_o, (state, j0))
+
+    # phase 2b: compact stragglers to width s and finish their schedule there
+    ci = jnp.nonzero(alive & ~accepted, size=s, fill_value=W)[0]
+    valid_c = ci < W
+    cic = jnp.minimum(ci, W - 1).astype(jnp.int32)
+    rs_c, rd_c = row_start[cic], row_deg[cic]
+    hb_c, hm_c = hash_base[cic], hash_mask[cic]
+    pi_c = prev_id[cic] if getattr(prev_id, "ndim", 0) else prev_id
+    sel_c = lambda u: pick(u)[cic]
+    dead_c = cic * 0
+
+    def cond_t(c):
+        (acc, _, _), j = c
+        return (j < max_trials) & ~jnp.all(acc)
+
+    def body_t(c):
+        st, j = c
+        for k in range(TAIL_K):
+            st = fold(st, *trial(j + k, rs_c, rd_c, hb_c, hm_c, pi_c, sel_c))
+        return st, j + TAIL_K
+
+    (acc_c, dst_c, cl_c), _ = jax.lax.while_loop(
+        cond_t, body_t, ((~valid_c, dead_c, dead_c), j_at))
+
+    final_c = jnp.where(acc_c, dst_c, cl_c)
+    dst = dst.at[ci].set(final_c, mode="drop")
+    accepted = accepted.at[ci].set(True, mode="drop")
     return jnp.where(accepted, dst, cand_last)

@@ -105,3 +105,19 @@ def test_distributed_packed_matches_unpacked():
     hsg.row_meta = hsg.hash_meta = hsg.alias_packed = hsg.hash_pad = None
     plain = corpus(hsg)
     np.testing.assert_array_equal(packed, plain)
+
+
+def test_tail_compaction_matches_dense_schedule(monkeypatch):
+    """Straggler compaction is a pure execution-width optimization: corpora must
+    be bitwise identical to running the whole trial schedule densely."""
+    import stellar_rw_tpu.ops.sampling as sp
+
+    graph = _random_graph(V=2000, E=16000, seed=21)
+    kw = dict(walk_length=12, num_walks=2, p=4.0, q=0.25, seed=5,
+              sampler="rejection")  # extreme-ish bias -> real stragglers
+    compacted = engine.random_walks(graph, **kw)
+    monkeypatch.setattr(sp, "TAIL_FRAC", 1)  # s == W -> dense branch
+    engine.walk_corpus.clear_cache()
+    dense = engine.random_walks(graph, **kw)
+    engine.walk_corpus.clear_cache()
+    np.testing.assert_array_equal(compacted, dense)
