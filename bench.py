@@ -110,7 +110,15 @@ def _graph_table_bytes(graph) -> int:
 
 
 def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
-                            rounds=20, seed=0) -> dict:
+                            num_walks=10, reps=4, seed=0,
+                            rng_impl="threefry") -> dict:
+    """Walk throughput over the PRODUCT dispatch shape: one jit call runs a full
+    `num_walks`-round corpus (exactly what the CLI's engine.walk_corpus does),
+    repeated `reps` times with distinct keys. Every dispatch folds its ENTIRE
+    corpus into an i64 checksum host-materialized in the timed region — no
+    dispatch can be dropped/unserialized without changing the printed checksum
+    (the tunneled transport acks block_until_ready without executing; only
+    materialized values are evidence)."""
     import jax
     import jax.numpy as jnp
 
@@ -122,59 +130,60 @@ def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
         walk_length=walk_length, p=p, q=q, sampler="rejection",
         max_degree=max(graph.max_degree, 1),
         n_search_iters=sampling.search_iters(graph.max_degree),
+        n_stream=graph.num_vertices, rng_impl=rng_impl,
     )
     starts = jnp.arange(graph.num_vertices, dtype=jnp.int32)
-    key = jax.random.PRNGKey(seed)
-    # Pre-fold all round keys BEFORE the timed loop: interleaving eager scalar ops
+    key = sampling.make_key(seed, rng_impl)
+    # Pre-fold rep keys BEFORE the timed loop: interleaving eager scalar ops
     # with in-flight async executions measurably stalls tunneled PJRT transports
     # (~300x distortion observed), and key derivation is not part of the walk.
-    keys = [jax.random.fold_in(key, r + 1) for r in range(rounds)]
+    keys = [jax.random.fold_in(key, r + 1) for r in range(reps)]
     jax.block_until_ready(keys)
 
-    @partial(jax.jit, static_argnames=("spec",))
-    def walk_round(g, starts, key, acc, spec):
-        """One walk round whose ENTIRE corpus feeds the returned checksum — a
-        round cannot execute partially without changing the checksum."""
-        out = engine.walk_once(g, starts, key, spec)
+    @partial(jax.jit, static_argnames=("spec", "R"))
+    def corpus_ck(g, starts, key, acc, spec, R):
+        out = engine.walk_corpus(g, starts, key, spec, R)
         w = jnp.arange(out.shape[1], dtype=jnp.int64) + 1
         return acc + jnp.sum(out.astype(jnp.int64) * w[None, :])
 
     zero = jnp.int64(0)
     jax.block_until_ready(zero)
-    # warmup / compile
     t0 = time.time()
-    jax.block_until_ready(walk_round(dg, starts, keys[0], zero, spec))
+    int(corpus_ck(dg, starts, keys[0], zero, spec, num_walks))
     compile_s = time.time() - t0
 
-    # A) blocked per-round: host-materialize each round's checksum
-    per_round = []
+    # A) blocked: host-materialize each corpus dispatch's checksum
+    per_dispatch = []
     blocked_checks = []
-    for r in range(rounds):
+    for r in range(reps):
         t0 = time.time()
-        blocked_checks.append(int(walk_round(dg, starts, keys[r], zero, spec)))
-        per_round.append(time.time() - t0)
+        blocked_checks.append(
+            int(corpus_ck(dg, starts, keys[r], zero, spec, num_walks)))
+        per_dispatch.append(time.time() - t0)
 
-    # B) pipelined: all rounds in flight, single device-side checksum chain;
-    #    the host-materialization of the final checksum is INSIDE the timed region
+    # B) pipelined: all dispatches in flight, single device-side checksum chain;
+    #    the host materialization of the final checksum is INSIDE the timed region
     t0 = time.time()
     acc = zero
-    for r in range(rounds):
-        acc = walk_round(dg, starts, keys[r], acc, spec)
-    checksum = int(acc)  # blocks; consumes every round's corpus
+    for r in range(reps):
+        acc = corpus_ck(dg, starts, keys[r], acc, spec, num_walks)
+    checksum = int(acc)  # blocks; consumes every dispatch's corpus
     dt = time.time() - t0
 
     # without x64 the device checksum wraps at 2^32 — compare modularly
     assert checksum % (1 << 32) == sum(blocked_checks) % (1 << 32), \
         "pipelined checksum mismatch"
-    steps_per_round = graph.num_vertices * (walk_length + 1)
-    steps = steps_per_round * rounds
-    pr = np.array(per_round)
+    steps_per_dispatch = graph.num_vertices * num_walks * (walk_length + 1)
+    steps = steps_per_dispatch * reps
+    pr = np.array(per_dispatch)
     return {
         "steps_per_s_pipelined": steps / dt,
-        "steps_per_s_blocked": steps_per_round / float(np.median(pr)),
-        "per_round_ms": {"min": round(float(pr.min()) * 1e3, 2),
-                         "median": round(float(np.median(pr)) * 1e3, 2),
-                         "max": round(float(pr.max()) * 1e3, 2)},
+        "steps_per_s_blocked": steps_per_dispatch / float(np.median(pr)),
+        "dispatch": f"walk_corpus: {num_walks} rounds x {graph.num_vertices} "
+                    f"walkers per jit call, {reps} reps",
+        "per_dispatch_ms": {"min": round(float(pr.min()) * 1e3, 2),
+                            "median": round(float(np.median(pr)) * 1e3, 2),
+                            "max": round(float(pr.max()) * 1e3, 2)},
         "run_s": dt,
         "compile_s": compile_s,
         "steps": steps,
@@ -182,20 +191,27 @@ def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
     }
 
 
-def speed_of_light(graph, steps_per_s: float) -> dict:
-    """Random-gather traffic per walk step vs HBM bandwidth.
+# Measured random-gather rate of the walk tables on the tunneled v5e chip
+# (2026-08-21 microbench: serialized W-element gathers from an HBM-resident
+# table, 1.49e8 elems/s). TPU gathers are the walk's binding resource — far
+# below the HBM streaming bound — so this is the honest speed-of-light.
+MEASURED_GATHER_ELEMS_PER_S = 1.49e8
 
-    Rejection sampler per walker per step, best case (1 candidate):
-      hoisted row metadata: offsets[cur], offsets[cur+1], hash_offsets[prev],
-      hash_mask[prev]                                   -> 4 gathers = 16 B
-      per candidate: alias_prob, alias_pos, cols[base+pos], 4 hash-probe reads
-                                                         -> 7 gathers = 28 B
-    => >= 44 B of random HBM traffic per step (lower bound; more candidates and
-    the uniform-stream writes only add to it). If the whole table set fits in
-    VMEM, gathers may be served on-chip and the HBM bound is not binding.
+
+def speed_of_light(graph, steps_per_s: float) -> dict:
+    """Random-gather traffic per walk step vs (a) HBM bandwidth and (b) the
+    chip's measured random-gather rate.
+
+    Packed-table rejection sampler per walker per step, dense phase (2 trials):
+      hoisted: row_meta[cur], hash_meta[prev]      -> 2 gathers, 16 B
+      per trial: alias_packed, cols, hash window   -> 3 gathers, 28 B
+    => >= 8 gathers / >= 72 B of random HBM traffic per step (straggler-tail
+    and uniform generation add to it). A number can be HBM-plausible yet still
+    impossible against the gather rate: gather_sol_ratio is the binding check.
     """
     bw, kind = _hbm_bw()
-    bytes_per_step = 44.0
+    bytes_per_step = 72.0
+    gathers_per_step = 8.0
     implied = steps_per_s * bytes_per_step
     tables = _graph_table_bytes(graph)
     return {
@@ -203,11 +219,16 @@ def speed_of_light(graph, steps_per_s: float) -> dict:
         "hbm_bytes_per_s": bw,
         "est_min_bytes_per_step": bytes_per_step,
         "implied_bytes_per_s": round(implied, 1),
-        "sol_ratio": round(implied / bw, 4),
+        "hbm_sol_ratio": round(implied / bw, 6),
+        "measured_gather_elems_per_s": MEASURED_GATHER_ELEMS_PER_S,
+        "est_min_gathers_per_step": gathers_per_step,
+        "gather_sol_ratio": round(
+            steps_per_s * gathers_per_step / MEASURED_GATHER_ELEMS_PER_S, 4),
         "tables_bytes": tables,
         "tables_fit_vmem": bool(tables <= VMEM_BYTES),
-        "note": ("sol_ratio must be <= ~1 unless tables_fit_vmem; "
-                 ">1 with HBM-resident tables means the number is implausible"),
+        "note": ("ratios must be <= ~1 unless tables_fit_vmem; above that the "
+                 "claimed number is implausible (gather_sol_ratio binds first "
+                 "on TPU)"),
     }
 
 
@@ -276,7 +297,7 @@ def cpu_reference_steps_per_s() -> float | None:
     r = _subprocess_json(
         "import bench\n"
         "g=bench.synth_power_law_graph(10000,334000)\n"
-        "r=bench.measure_walk_throughput(g,rounds=1)\n"
+        "r=bench.measure_walk_throughput(g,num_walks=2,reps=1)\n"
         "print(json.dumps(r['steps_per_s_pipelined']))\n")
     return r
 
@@ -439,8 +460,8 @@ def main() -> None:
     # and the phases below it run on CPU subprocesses that survive a dead TPU.
     hbm_v = int(os.environ.get("BENCH_HBM_V", 1_000_000))
     big = synth_power_law_graph(hbm_v, 16 * hbm_v, seed=1)
-    tpu_big = _phase("walk_1m_hbm", measure_walk_throughput, big, rounds=3,
-                     timeout=t_tpu)
+    tpu_big = _phase("walk_1m_hbm", measure_walk_throughput, big, num_walks=1,
+                     reps=2, timeout=t_tpu)
     if tpu_big:
         _phase("speed_of_light_1m", speed_of_light,
                big, tpu_big["steps_per_s_pipelined"])
