@@ -453,6 +453,15 @@ def main() -> None:
                graph, tpu["steps_per_s_pipelined"])
     _phase("sgns_samples_per_s", measure_sgns_samples_per_s, timeout=t_tpu)
     _phase("quality_probe", quality_probe, timeout=t_tpu)
+    # mid-size HBM-regime point (tables >> VMEM, ~150 MB): the largest workload
+    # class observed to run reliably over the tunneled transport
+    mid = synth_power_law_graph(300_000, 4_800_000, seed=2)
+    tpu_mid = _phase("walk_300k_hbm", measure_walk_throughput, mid, num_walks=3,
+                     reps=2, timeout=t_tpu)
+    if tpu_mid:
+        _phase("speed_of_light_300k", speed_of_light,
+               mid, tpu_mid["steps_per_s_pipelined"])
+    del mid
     # HBM-regime measurement: tables too large for VMEM staging — 1M vertices,
     # ~32M arcs, one walker per vertex. Runs LAST among device phases: this is
     # the workload most likely to fault/wedge the tunneled transport (observed
