@@ -76,10 +76,10 @@ def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
 def run_job(params: Params) -> str:
     if params.cmd == TaskName.node2vec and params.streaming:
         # memory-bounded pipeline: one walk round resident at a time
-        graph, _home = _load_graph(params)
+        graph, home = _load_graph(params)
         print(f"vertices: {graph.num_vertices}")
         print(f"edges: {graph.num_edges}")
-        tokens, w_in, w_out, ws = n2v.run_node2vec_streaming(graph, params)
+        tokens, w_in, w_out, ws = n2v.run_node2vec_streaming(graph, params, home)
         print(f"walks (streamed): {ws.num_paths} paths, {ws.num_steps} steps")
         print(f"Zero Neighbors: {ws.dead_ends}  (isolated starts: "
               f"{ws.isolated_starts}, full paths: {ws.full_paths}, "

@@ -164,3 +164,25 @@ def test_multi_file_output(tmp_path, karate_path):
     cli.run_job(p)
     files = sorted(os.listdir(tmp_path / "path"))
     assert files == [f"part-{i:05d}" for i in range(4)]
+
+
+def test_sharded_streaming_matches_single_chip_streaming(tmp_path, karate_path):
+    """--streaming true --shards 4: rounds come from the sharded engine; the
+    /path output and the trained vectors must be bitwise identical to
+    single-chip streaming (rounds are bitwise equal, trainer is identical)."""
+    import numpy as np
+
+    args = ["--cmd", "node2vec", "--input", karate_path,
+            "--walkLength", "15", "--numWalks", "4", "--weighted", "false",
+            "--dim", "16", "--window", "4", "--iter", "3", "--seed", "6",
+            "--streaming", "true"]
+    out_a = tmp_path / "s1"
+    out_b = tmp_path / "s4"
+    cli.run_job(config.parse(args + ["--output", str(out_a)]))
+    cli.run_job(config.parse(args + ["--output", str(out_b), "--shards", "4"]))
+    pa = open(out_a / "path" / "part-00000").read()
+    pb = open(out_b / "path" / "part-00000").read()
+    assert pa == pb
+    _, wa, _ = n2v.load_model(str(out_a))
+    _, wb, _ = n2v.load_model(str(out_b))
+    np.testing.assert_allclose(wa, wb, rtol=0, atol=0)

@@ -154,7 +154,9 @@ def test_partitioner_scales(karate_path):
     g.build_hash_tables()
     hsg = partition.partition_graph(g, 8)
     dt = time.time() - t0
-    assert dt < 60, f"host preprocessing took {dt:.1f}s at 200K vertices"
+    # 120s: ~3x the unloaded time on this 2-vCPU host — the guard targets the
+    # minutes-scale per-row-Python regressions, not scheduler noise
+    assert dt < 120, f"host preprocessing took {dt:.1f}s at 200K vertices"
     assert hsg.replication_factor >= 1.0
     # spot-check: a few owned rows replicate the global adjacency exactly
     rng = np.random.default_rng(0)
