@@ -427,6 +427,11 @@ def _phase(name: str, fn, *args, timeout: float | None = None, **kwargs):
         except Exception as e:  # noqa: BLE001 — report, keep benching
             box["e"] = f"{type(e).__name__}: {e}"[:500]
 
+    if timeout is not None and PARTIAL.get("_device_wedged"):
+        # a prior device phase timed out: the tunneled transport is wedged and
+        # every further dispatch would also hang — skip straight to CPU phases
+        PARTIAL[name] = {"ERROR": "SKIPPED: transport wedged earlier this run"}
+        return None
     if timeout is None:
         run()
     else:
@@ -435,6 +440,7 @@ def _phase(name: str, fn, *args, timeout: float | None = None, **kwargs):
         t.join(timeout)
         if t.is_alive():
             box["e"] = f"TIMEOUT after {timeout:.0f}s (wedged dispatch?)"
+            PARTIAL["_device_wedged"] = True
     if "e" in box:
         PARTIAL[name] = {"ERROR": box["e"]}
         sys.stderr.write(f"[bench] phase {name} failed: {box['e']}\n")
