@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import threading
@@ -44,26 +45,94 @@ from functools import partial
 
 import numpy as np
 
-# Partial results collected as phases complete; the watchdog dumps these if a
-# phase wedges (the tunneled TPU transport can hang indefinitely — observed
-# 2026-08-20: stuck dispatch at 0 CPU with even fresh-process matmuls hanging).
+# Partial results collected as phases complete; the watchdog dumps these if the
+# orchestrator itself wedges (the tunneled TPU transport can hang indefinitely —
+# observed 2026-08-20: stuck dispatch at 0 CPU with fresh-process matmuls
+# hanging too). Round-3 design: the orchestrating process NEVER touches the TPU;
+# every device phase runs in a disposable subprocess with its own timeout and
+# one fresh-process retry, so a single wedge can no longer null the whole record
+# (round-2 failure mode: BENCH_r02.json "value": null, rc 134).
 PARTIAL: dict = {}
-BENCH_TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT_S", 2400))
+BENCH_TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT_S", 4500))
+PHASE_TIMEOUT_S = float(os.environ.get("BENCH_PHASE_TIMEOUT_S", 600))
+_DEADLINE = time.time() + BENCH_TIMEOUT_S
 
 
 def _watchdog():
-    time.sleep(BENCH_TIMEOUT_S)
+    time.sleep(BENCH_TIMEOUT_S + 120)
     result = {
         "metric": "walk_steps_per_s_per_chip",
-        "value": PARTIAL.get("walk_10k", {}).get("steps_per_s_pipelined"),
+        "value": (PARTIAL.get("walk_10k") or {}).get("steps_per_s_pipelined"),
         "unit": "steps/s",
         "vs_baseline": None,
-        "extras": {"TIMEOUT": f"bench wedged after {BENCH_TIMEOUT_S}s; "
-                              "partial results only (TPU transport hang?)",
+        "extras": {"TIMEOUT": f"bench orchestrator wedged after {BENCH_TIMEOUT_S}s; "
+                              "partial results only",
                    **PARTIAL},
     }
     print(json.dumps(result), flush=True)
-    os._exit(2)
+    os._exit(0)
+
+
+# Every device phase subprocess gets the repo on sys.path and (best-effort) a
+# shared persistent compilation cache so retries/later phases skip recompiles.
+DEVICE_PREAMBLE = (
+    "import os, sys, json\n"
+    "sys.path.insert(0, %r)\n"
+    "import jax\n"
+    "try:\n"
+    "    jax.config.update('jax_compilation_cache_dir', '/tmp/srw_jax_cache')\n"
+    "    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)\n"
+    "except Exception:\n"
+    "    pass\n"
+) % os.path.dirname(os.path.abspath(__file__))
+
+
+def _device_phase(name: str, code: str, timeout: float | None = None,
+                  retries: int = 1):
+    """Run one device bench phase in a DISPOSABLE subprocess.
+
+    The tunneled TPU transport can wedge a dispatch forever and poison its whole
+    client process. Per-phase isolation means a wedge kills only that subprocess
+    (whole process group), one retry runs with a FRESH client, and every later
+    phase still gets to run. The phase payload must print a JSON object as its
+    last stdout line. Returns the parsed result (also stored in PARTIAL) or None."""
+    t_limit = timeout if timeout is not None else PHASE_TIMEOUT_S
+    for attempt in range(retries + 1):
+        remaining = _DEADLINE - time.time() - 45  # reserve for the final print
+        if remaining < 60:
+            PARTIAL[name] = {"ERROR": "SKIPPED: global bench deadline reached"}
+            return None
+        eff = min(t_limit, remaining)
+        proc = subprocess.Popen(
+            [sys.executable, "-c", DEVICE_PREAMBLE + code],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            start_new_session=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        try:
+            out, err = proc.communicate(timeout=eff)
+        except subprocess.TimeoutExpired:
+            try:  # kill the whole process group: a wedged PJRT client ignores SIGTERM
+                os.killpg(proc.pid, signal.SIGKILL)
+            except Exception:
+                proc.kill()
+            proc.communicate()
+            PARTIAL[name] = {"ERROR": f"TIMEOUT after {eff:.0f}s on attempt "
+                                      f"{attempt + 1} (wedged dispatch?)"}
+            sys.stderr.write(f"[bench] {name}: timeout, attempt {attempt + 1}\n")
+            continue
+        if proc.returncode == 0:
+            try:
+                r = json.loads(out.strip().splitlines()[-1])
+            except Exception as e:  # noqa: BLE001
+                PARTIAL[name] = {"ERROR": f"unparseable phase output: {e}"}
+                continue
+            PARTIAL[name] = r
+            return r
+        PARTIAL[name] = {"ERROR": f"rc={proc.returncode} on attempt "
+                                  f"{attempt + 1}: {err[-400:]}"}
+        sys.stderr.write(f"[bench] {name}: rc={proc.returncode}, attempt "
+                         f"{attempt + 1}\n{err[-2000:]}\n")
+    return None
 
 VMEM_BYTES = 16 * 2**20  # per-core VMEM (pallas guide: ~16 MB/core)
 
@@ -102,11 +171,12 @@ def _hbm_bw() -> tuple[float, str]:
 
 
 def _graph_table_bytes(graph) -> int:
-    """Device-resident bytes of the walk tables (DeviceGraph arrays)."""
+    """Device-resident bytes of the walk tables (DeviceGraph arrays, unpacked +
+    packed fast-path: row/hash meta, 16 B alias4 rows, padded hash windows)."""
     V, E = graph.num_vertices, graph.num_edges
     graph.build_hash_tables()
     H = len(graph.hash_table)
-    return 4 * ((V + 1) + E * 4 + V * 2 + H)
+    return 4 * ((V + 1) + E * 8 + V * 9 + H * 2)
 
 
 def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
@@ -202,16 +272,17 @@ def speed_of_light(graph, steps_per_s: float) -> dict:
     """Random-gather traffic per walk step vs (a) HBM bandwidth and (b) the
     chip's measured random-gather rate.
 
-    Packed-table rejection sampler per walker per step, dense phase (2 trials):
+    Packed-table rejection sampler per walker per step, dense phase (2 trials),
+    round-3 alias4 layout (candidate cols packed into the 16 B alias row):
       hoisted: row_meta[cur], hash_meta[prev]      -> 2 gathers, 16 B
-      per trial: alias_packed, cols, hash window   -> 3 gathers, 28 B
-    => >= 8 gathers / >= 72 B of random HBM traffic per step (straggler-tail
+      per trial: alias4 row, hash window           -> 2 gathers, 32 B
+    => >= 6 gathers / >= 80 B of random HBM traffic per step (straggler-tail
     and uniform generation add to it). A number can be HBM-plausible yet still
     impossible against the gather rate: gather_sol_ratio is the binding check.
     """
     bw, kind = _hbm_bw()
-    bytes_per_step = 72.0
-    gathers_per_step = 8.0
+    bytes_per_step = 80.0
+    gathers_per_step = 6.0
     implied = steps_per_s * bytes_per_step
     tables = _graph_table_bytes(graph)
     return {
@@ -412,83 +483,71 @@ def pq_sweep(grid=(0.25, 1.0, 4.0)) -> dict:
     return out
 
 
-def _phase(name: str, fn, *args, timeout: float | None = None, **kwargs):
-    """Run one bench phase; a failure records the error under PARTIAL[name] and
-    returns None instead of killing the whole bench (the tunneled TPU transport
-    can fault on one workload and still serve the others). With `timeout`, the
-    phase runs in a worker thread and is abandoned (thread left blocked, result
-    discarded) if it wedges — a stuck TPU dispatch never returns, and later
-    CPU-subprocess phases can still produce numbers."""
-    box: dict = {}
-
-    def run():
-        try:
-            box["r"] = fn(*args, **kwargs)
-        except Exception as e:  # noqa: BLE001 — report, keep benching
-            box["e"] = f"{type(e).__name__}: {e}"[:500]
-
-    if timeout is not None and PARTIAL.get("_device_wedged"):
-        # a prior device phase timed out: the tunneled transport is wedged and
-        # every further dispatch would also hang — skip straight to CPU phases
-        PARTIAL[name] = {"ERROR": "SKIPPED: transport wedged earlier this run"}
+def _phase(name: str, fn, *args, **kwargs):
+    """Run one CPU bench phase in-process; a failure records the error under
+    PARTIAL[name] and returns None instead of killing the whole bench. (Device
+    phases go through _device_phase subprocess isolation instead.)"""
+    try:
+        r = fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 — report, keep benching
+        PARTIAL[name] = {"ERROR": f"{type(e).__name__}: {e}"[:500]}
+        sys.stderr.write(f"[bench] phase {name} failed: {PARTIAL[name]}\n")
         return None
-    if timeout is None:
-        run()
-    else:
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
-        t.join(timeout)
-        if t.is_alive():
-            box["e"] = f"TIMEOUT after {timeout:.0f}s (wedged dispatch?)"
-            PARTIAL["_device_wedged"] = True
-    if "e" in box:
-        PARTIAL[name] = {"ERROR": box["e"]}
-        sys.stderr.write(f"[bench] phase {name} failed: {box['e']}\n")
-        return None
-    PARTIAL[name] = box.get("r")
-    return box.get("r")
+    PARTIAL[name] = r
+    return r
+
+
+# Device phase payloads (run under DEVICE_PREAMBLE in a disposable subprocess).
+_WALK_PHASE = (
+    "import bench\n"
+    "g = bench.synth_power_law_graph({V}, {E}, seed={seed})\n"
+    "r = bench.measure_walk_throughput(g, num_walks={nw}, reps={reps})\n"
+    "r['speed_of_light'] = bench.speed_of_light(g, r['steps_per_s_pipelined'])\n"
+    "print(json.dumps(r))\n"
+)
+_SGNS_PHASE = (
+    "import bench\n"
+    "print(json.dumps(bench.measure_sgns_samples_per_s()))\n"
+)
+_QUALITY_PHASE = (
+    "import bench\n"
+    "print(json.dumps(bench.quality_probe()))\n"
+)
 
 
 def main() -> None:
+    global _DEADLINE
+    _DEADLINE = time.time() + BENCH_TIMEOUT_S
     threading.Thread(target=_watchdog, daemon=True).start()
-    t_tpu = float(os.environ.get("BENCH_PHASE_TIMEOUT_S", 1200))
-    graph = synth_power_law_graph(10_000, 334_000)
-    tpu = _phase("walk_10k", measure_walk_throughput, graph, timeout=t_tpu)
-    if tpu:
-        _phase("speed_of_light_10k", speed_of_light,
-               graph, tpu["steps_per_s_pipelined"])
-    _phase("sgns_samples_per_s", measure_sgns_samples_per_s, timeout=t_tpu)
-    _phase("quality_probe", quality_probe, timeout=t_tpu)
-    # mid-size HBM-regime point (tables >> VMEM, ~150 MB): the largest workload
-    # class observed to run reliably over the tunneled transport
-    mid = synth_power_law_graph(300_000, 4_800_000, seed=2)
-    tpu_mid = _phase("walk_300k_hbm", measure_walk_throughput, mid, num_walks=3,
-                     reps=2, timeout=t_tpu)
-    if tpu_mid:
-        _phase("speed_of_light_300k", speed_of_light,
-               mid, tpu_mid["steps_per_s_pipelined"])
-    del mid
-    # HBM-regime measurement: tables too large for VMEM staging — 1M vertices,
-    # ~32M arcs, one walker per vertex. Runs LAST among device phases: this is
-    # the workload most likely to fault/wedge the tunneled transport (observed
-    # 2026-08-21: UNAVAILABLE device error here, then every later dispatch hung),
-    # and the phases below it run on CPU subprocesses that survive a dead TPU.
+    # headline phase first, with an extra retry — this number IS the record
+    tpu = _device_phase(
+        "walk_10k",
+        _WALK_PHASE.format(V=10_000, E=334_000, seed=0, nw=10, reps=4),
+        retries=2)
+    _device_phase("sgns_samples_per_s", _SGNS_PHASE)
+    _device_phase("quality_probe", _QUALITY_PHASE)
+    # mid-size HBM-regime point (tables >> VMEM, ~150 MB)
+    _device_phase(
+        "walk_300k_hbm",
+        _WALK_PHASE.format(V=300_000, E=4_800_000, seed=2, nw=3, reps=2))
+    # 1M-vertex HBM regime LAST among device phases: historically the workload
+    # most likely to fault the tunneled transport (2026-08-21: UNAVAILABLE device
+    # error here then every later dispatch hung) — isolation now contains that
+    # to this one subprocess, but order still minimizes retry churn.
     hbm_v = int(os.environ.get("BENCH_HBM_V", 1_000_000))
-    big = synth_power_law_graph(hbm_v, 16 * hbm_v, seed=1)
-    tpu_big = _phase("walk_1m_hbm", measure_walk_throughput, big, num_walks=1,
-                     reps=2, timeout=t_tpu)
-    if tpu_big:
-        _phase("speed_of_light_1m", speed_of_light,
-               big, tpu_big["steps_per_s_pipelined"])
-    del big
+    _device_phase(
+        "walk_1m_hbm",
+        _WALK_PHASE.format(V=hbm_v, E=16 * hbm_v, seed=1, nw=1, reps=2))
     _phase("cpu_mesh_scaling", cpu_mesh_scaling)
     cpu_steps = _phase("cpu_2core_steps_per_s", cpu_reference_steps_per_s)
     # 2-core host -> x8 approximates the 16-core Spark host; x10 = the target
     baseline = 10.0 * 8.0 * cpu_steps if cpu_steps else None
     # headline: the pipelined number, but never more than 1.15x what the
     # per-round blocked evidence supports (guards against unserialized dispatch)
-    headline = min(tpu["steps_per_s_pipelined"],
-                   1.15 * tpu["steps_per_s_blocked"]) if tpu else None
+    headline = None
+    if tpu and "steps_per_s_pipelined" in tpu:
+        headline = min(tpu["steps_per_s_pipelined"],
+                       1.15 * tpu["steps_per_s_blocked"])
     result = {
         "metric": "walk_steps_per_s_per_chip",
         "value": round(headline, 1) if headline else None,
@@ -503,6 +562,7 @@ def main() -> None:
         },
     }
     print(json.dumps(result))
+    sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -50,7 +50,7 @@ class ShardedGraphHost:
     # stacked and padded; None when packing was not applicable on some shard).
     row_meta: np.ndarray | None = None      # i32[S, R_max, 2]
     hash_meta: np.ndarray | None = None     # i32[S, R_max, 2]
-    alias_packed: np.ndarray | None = None  # i32[S, E_max, 2]
+    alias_packed: np.ndarray | None = None  # i32[S, E_max, 4]
     hash_pad: np.ndarray | None = None      # i32[S, H_max + 3*R_max]
 
     @property
@@ -166,7 +166,7 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     pad = HASH_PROBES - 1
     row_meta = np.zeros((S, R_max, 2), dtype=np.int32)
     hash_meta = np.zeros((S, R_max, 2), dtype=np.int32)
-    alias_packed = np.zeros((S, E_max, 2), dtype=np.int32)
+    alias_packed = np.zeros((S, E_max, 4), dtype=np.int32)
     hash_pad = np.full((S, H_max + pad * R_max), -1, dtype=np.int32)
     ok = True
     for s, rows in enumerate(rows_per_shard):
@@ -178,7 +178,7 @@ def partition_graph(graph: CSRGraph, num_shards: int,
             # every local draw is masked; zero hash_meta probes the -1 fill
             continue
         pk = pack_tables_host(
-            offsets[s, :R + 1], aprob[s, :E_s], apos[s, :E_s],
+            offsets[s, :R + 1], cols[s, :E_s], aprob[s, :E_s], apos[s, :E_s],
             np.concatenate([hoff[s, :R], [H_s]]), hmask[s, :R], htab[s, :H_s])
         if pk is None:
             ok = False

@@ -46,6 +46,14 @@ def run_walks(graph: CSRGraph, params: Params,
     92-97); when sharded, walkers route by home % shards; otherwise the uniform
     hash policy applies. Both engines produce bitwise-identical corpora.
     """
+    if params.checkpoint_every and params.output:
+        # round-granular checkpoint/resume for long walk runs (SURVEY.md §5.3):
+        # per-round dispatches instead of the all-rounds batch, persisted every
+        # --checkpointEvery rounds, bitwise identical corpus either way
+        walks, resumed = checkpointed_random_walks(graph, params, home)
+        if resumed:
+            print(f"resumed {resumed} completed walk rounds from checkpoint")
+        return walks
     kw = dict(
         walk_length=params.walk_length,
         num_walks=params.num_walks,
@@ -78,33 +86,23 @@ def run_walks(graph: CSRGraph, params: Params,
     return walks
 
 
-def run_node2vec_streaming(graph: CSRGraph, params: Params,
-                           home: np.ndarray | None = None):
-    """Memory-bounded node2vec: one walk ROUND resident at a time.
-
-    The reference materializes the full corpus before Word2Vec.fit
-    (Main.scala:112-116) — 10·|V|·82·4B ≈ 13 GB at LiveJournal defaults, more
-    than a chip's spare HBM next to the graph tables. Here the counter-based
-    streams make every round exactly regenerable, so the pipeline is:
-
-      pre-pass (once): generate each round on device, stream /path to disk,
-        accumulate token counts + walk stats;
-      training: per epoch, regenerate each round and train on it — the realized
-        corpus is bitwise identical to the stored-corpus path.
-
-    Returns (tokens, w_in, w_out, stats). With --shards > 1 (or --partitioned
-    true) each round is generated by the sharded engine (same routing rules as
-    run_walks, bitwise-identical rounds), so corpus memory stays one round per
-    device set."""
+def _round_maker(graph: CSRGraph, params: Params,
+                 home: np.ndarray | None = None):
+    """Per-round corpus generation setup shared by the streaming pipeline and
+    the checkpointed walk loop: make_round(r) -> device [V, L+2] block, round r
+    of the full corpus, bitwise identical to the batched engines (counter-based
+    round-addressed streams). Single-chip or sharded per --shards/--partitioned
+    (same routing rules as run_walks)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops import sampling
-    from ..utils.stats import WalkStats
 
     sampler, max_rounds = sampling.plan_sampler(
         params.sampler, params.p, params.q)
     V = graph.num_vertices
+    S = num_walk_shards(params)
+    n_per_shard = (-(-V // S) * S) // S if S > 1 else V
     spec = engine.WalkSpec(
         walk_length=params.walk_length, p=float(params.p), q=float(params.q),
         sampler=sampler, max_degree=max(graph.max_degree, 1),
@@ -112,10 +110,10 @@ def run_node2vec_streaming(graph: CSRGraph, params: Params,
         max_rounds=max_rounds,
         n_stream=V,
         rng_impl=params.rng_impl,
+        cdf_chunk=(sampling.plan_cdf_chunk(n_per_shard, graph.max_degree)
+                   if sampler == "cdf" else 0),
     )
     base = sampling.make_key(params.seed, params.rng_impl)
-    R = params.num_walks
-    S = num_walk_shards(params)
 
     if S > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -149,6 +147,86 @@ def run_node2vec_streaming(graph: CSRGraph, params: Params,
 
         def make_round(r: int):
             return engine.walk_corpus(dg, starts, base, spec, 1, np.int32(r))
+
+    return make_round, V
+
+
+WALK_CKPT = "walk_rounds.npz"
+
+
+def checkpointed_random_walks(graph: CSRGraph, params: Params,
+                              home: np.ndarray | None = None
+                              ) -> tuple[np.ndarray, int]:
+    """Round-granular walk checkpoint/resume (SURVEY.md §5.3; round-2 verdict
+    item 8 — the reference has only stage-level resume via the walks file,
+    RandomWalk.scala:234-241 / Main.scala:119-124).
+
+    Rounds are generated one at a time (each round is deterministically
+    addressed by its round index, so regeneration order is irrelevant); every
+    --checkpointEvery completed rounds the corpus-so-far + completed-round
+    marker is atomically persisted under <output>/bin. With --resume, completed
+    rounds are loaded from the checkpoint and only the remainder is generated —
+    the final corpus is bitwise identical to an uninterrupted run.
+
+    Returns (walks [num_walks*V, L+2], resumed_rounds)."""
+    make_round, V = _round_maker(graph, params, home)
+    R = params.num_walks
+    T = params.walk_length + 2
+    path = os.path.join(params.output, MODEL_SUFFIX, WALK_CKPT)
+    rounds: list[np.ndarray] = []
+    start = 0
+    if params.resume and os.path.exists(path):
+        z = np.load(path)
+        prior, done = z["walks"], int(z["completed"])
+        if prior.shape == (done * V, T) and done <= R:
+            start = done
+            rounds = [prior[r * V:(r + 1) * V] for r in range(done)]
+            logger.info("walk checkpoint: resuming after %d completed rounds",
+                        done)
+        else:
+            logger.warning("walk checkpoint shape %s does not match params "
+                           "(expected (%d*V, %d)) — regenerating from scratch",
+                           prior.shape, done, T)
+    every = max(1, params.checkpoint_every)
+    for r in range(start, R):
+        rounds.append(np.asarray(make_round(r)))
+        done = r + 1
+        if done % every == 0 or done == R:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp.npz"
+            with open(tmp, "wb") as f:
+                np.savez(f, walks=np.concatenate(rounds), completed=done)
+            os.replace(tmp, path)  # atomic: a kill never corrupts the marker
+    return np.concatenate(rounds) if rounds else np.zeros((0, T), np.int32), \
+        start
+
+
+def run_node2vec_streaming(graph: CSRGraph, params: Params,
+                           home: np.ndarray | None = None):
+    """Memory-bounded node2vec: one walk ROUND resident at a time.
+
+    The reference materializes the full corpus before Word2Vec.fit
+    (Main.scala:112-116) — 10·|V|·82·4B ≈ 13 GB at LiveJournal defaults, more
+    than a chip's spare HBM next to the graph tables. Here the counter-based
+    streams make every round exactly regenerable, so the pipeline is:
+
+      pre-pass (once): generate each round on device, stream /path to disk,
+        accumulate token counts + walk stats;
+      training: per epoch, regenerate each round and train on it — the realized
+        corpus is bitwise identical to the stored-corpus path.
+
+    Returns (tokens, w_in, w_out, stats). With --shards > 1 (or --partitioned
+    true) each round is generated by the sharded engine (same routing rules as
+    run_walks, bitwise-identical rounds), so corpus memory stays one round per
+    device set."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.stats import WalkStats
+
+    V = graph.num_vertices
+    R = params.num_walks
+    make_round, _ = _round_maker(graph, params, home)
 
     # pre-pass: /path + token counts + stats in one sweep of the corpus
     counts_dev = jnp.zeros(V, jnp.float32)

@@ -58,7 +58,10 @@ class DeviceGraph(NamedTuple):
     # gather instead of four): 11 transactions/step -> 5.
     row_meta: jax.Array | None = None      # i32[V,2] (row start, degree)
     hash_meta: jax.Array | None = None     # i32[V,2] (padded table base, mask)
-    alias_packed: jax.Array | None = None  # i32[E,2] (prob bits, alias pos)
+    alias_packed: jax.Array | None = None  # i32[E,4] (prob bits, col-if-keep,
+    #                                        col-if-alias, alias pos): one 16-byte
+    #                                        slice gather yields the CANDIDATE
+    #                                        VERTEX directly — no second cols gather
     hash_pad: jax.Array | None = None      # i32[H+3V] tables with wrap pad
 
     @property
@@ -70,16 +73,18 @@ class DeviceGraph(NamedTuple):
         return self.cols.shape[0]
 
 
-def pack_tables_host(offsets, alias_prob, alias_pos, hash_offsets, hash_mask,
-                     hash_table):
+def pack_tables_host(offsets, cols, alias_prob, alias_pos, hash_offsets,
+                     hash_mask, hash_table):
     """Build the packed fast-path tables (see DeviceGraph) on host, vectorized.
 
     hash_offsets is the host [V+1] cumulative layout. The padded table duplicates
     each per-vertex table's first HASH_PROBES-1 slots after its end, so the probe
     window [base + (h & mask), +HASH_PROBES) reads exactly the slots the wrapped
     probes (h+i) & mask would (table sizes are >= 8 > HASH_PROBES, csr.py).
-    Returns (row_meta, alias_packed, hash_meta, hash_pad) or None when packing is
-    not applicable (empty graph, or layouts too large for i32 indexing).
+    The alias rows carry BOTH possible candidate vertex ids (keep / alias) so a
+    trial's candidate comes out of one 16-byte slice gather with no follow-up
+    cols gather. Returns (row_meta, alias_packed, hash_meta, hash_pad) or None
+    when packing is not applicable (empty graph, layouts too large for i32).
     """
     V = len(offsets) - 1
     E = len(alias_pos) if alias_pos is not None else 0
@@ -92,7 +97,12 @@ def pack_tables_host(offsets, alias_prob, alias_pos, hash_offsets, hash_mask,
     deg = offsets[1:] - offsets[:-1]
     row_meta = np.stack([offsets[:-1], deg], 1).astype(np.int32)
     prob_bits = np.ascontiguousarray(alias_prob, dtype=np.float32).view(np.int32)
-    alias_packed = np.stack([prob_bits, alias_pos.astype(np.int32)], 1)
+    row_of = np.repeat(np.arange(V, dtype=np.int64), deg)
+    col_alias = np.asarray(cols, dtype=np.int32)[
+        offsets[:-1][row_of] + alias_pos.astype(np.int64)]
+    alias_packed = np.stack(
+        [prob_bits, np.asarray(cols, dtype=np.int32), col_alias,
+         alias_pos.astype(np.int32)], 1)
     sizes = hash_mask.astype(np.int64) + 1
     base = hash_offsets[:-1].astype(np.int64)
     new_base = base + pad * np.arange(V, dtype=np.int64)
@@ -115,7 +125,7 @@ def device_put_graph(graph, device=None, packed: bool = True) -> DeviceGraph:
     graph.build_hash_tables()
     put = lambda x, dt: jax.device_put(jnp.asarray(x, dtype=dt), device)
     pk = pack_tables_host(
-        graph.offsets, graph.alias_prob, graph.alias_pos,
+        graph.offsets, graph.cols, graph.alias_prob, graph.alias_pos,
         graph.hash_offsets, graph.hash_mask, graph.hash_table) if packed else None
     return DeviceGraph(
         offsets=put(graph.offsets, jnp.int32),
@@ -155,6 +165,21 @@ def plan_sampler(sampler: str, p: float, q: float) -> tuple[str, int]:
     if ratio > 32.0:
         return "cdf", 16
     return "rejection", max(16, int(2.0 * ratio) + 1)
+
+
+CDF_PAD_LIMIT = 1 << 27   # elements the padded exact-CDF path may materialize
+CDF_CHUNK = 256           # row-slice width of the streaming exact-CDF path
+
+
+def plan_cdf_chunk(batch_walkers: int, max_degree: int) -> int:
+    """0 = padded exact-CDF (one [W, max_degree] materialization — fastest when
+    it fits); else the chunk width for the streaming path. Padding cost scales
+    as batch x max_degree, which on power-law graphs at LiveJournal scale is an
+    OOM (round-2 verdict item 5) — the streaming path holds memory at
+    batch x CDF_CHUNK regardless of degree."""
+    if batch_walkers * max(max_degree, 1) <= CDF_PAD_LIMIT:
+        return 0
+    return CDF_CHUNK
 
 
 def in_row(g: DeviceGraph, rows: jax.Array, queries: jax.Array, n_iters: int) -> jax.Array:
@@ -269,9 +294,137 @@ def cdf_sample_second_order(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Ar
     return jnp.take_along_axis(dsts, j[:, None], axis=1)[:, 0]
 
 
-def alias_draw(g: DeviceGraph, rows: jax.Array, u_pos: jax.Array, u_keep: jax.Array) -> jax.Array:
-    """O(1) draw of a neighbor of each row, ∝ edge weight, via Vose alias tables."""
+def _chunk_scan(g: DeviceGraph, rows: jax.Array, deg: jax.Array, chunk: int,
+                body_fn, init):
+    """Run body_fn over each row in contiguous `chunk`-wide slices.
+
+    body_fn(carry, idx_in_row i32[W,C], dsts i32[W,C], w f32[W,C],
+            valid bool[W,C]) -> carry; iterates while any row has unread
+    entries (bounded by ceil(max_deg_in_batch / chunk) — a traced value, so
+    batches of short rows stop early regardless of the graph's max degree).
+    Memory is O(W * chunk) instead of the padded path's O(W * max_degree):
+    the exact-CDF fallback for extreme p/q stays feasible on power-law graphs
+    (round-2 verdict item 5; reference semantics RandomSample.scala:12-44).
+    """
     E = g.num_edges
+    s = g.offsets[rows]
+    pos = jnp.arange(chunk, dtype=jnp.int32)
+    max_deg = jnp.max(deg)
+
+    def cond(c):
+        j, _ = c
+        return j * chunk < max_deg
+
+    def body(c):
+        j, carry = c
+        base = j * chunk
+        idx = base + pos[None, :]
+        valid = idx < deg[:, None]
+        gidx = jnp.clip(s[:, None] + idx, 0, max(E - 1, 0))
+        carry = body_fn(carry, idx, g.cols[gidx], g.weights[gidx], valid)
+        return j + jnp.int32(1), carry
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    return carry
+
+
+def cdf_sample_second_order_chunked(
+        g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
+        prev_id: jax.Array, u: jax.Array, p: float, q: float,
+        chunk: int, dtype=jnp.float32) -> jax.Array:
+    """Exact biased inverse-CDF draw with O(W * chunk) memory.
+
+    Distribution-identical to cdf_sample_second_order (the reference scan order
+    and head fallback, RandomSample.scala:12-44) but streams each row through
+    fixed `chunk`-wide slices: pass 1 accumulates the total biased weight, pass
+    2 finds the first index whose running cumulative reaches u * total (the
+    unnormalized form of the reference's normalized-cumsum >= u test). The
+    padded path materializes [W, max_degree] bias rows — an OOM at LiveJournal
+    degrees; this is the production extreme-p/q fallback (plan_sampler ratio >
+    32) for power-law graphs."""
+    deg = (g.offsets[cur_row + 1] - g.offsets[cur_row]).astype(jnp.int32)
+    prev_row_b = prev_row[:, None]
+    prev_id_b = prev_id[:, None]
+
+    def bias(dsts):
+        return _bias(g, dsts, prev_row_b, prev_id_b, p, q, dtype)
+
+    def acc_total(total, idx, dsts, w, valid):
+        b = jnp.where(valid, w.astype(dtype) * bias(dsts), 0)
+        return total + jnp.sum(b, axis=1)
+
+    # carry inits derive from cur_row so they keep the same varying-manual-axes
+    # type as the loop outputs under shard_map (cf. rejection_sample.dead_dst)
+    zerof = (cur_row * 0).astype(dtype)
+    total = _chunk_scan(g, cur_row, deg, chunk, acc_total, zerof)
+    thresh = u.astype(dtype) * total
+
+    def find(carry, idx, dsts, w, valid):
+        cum, found = carry
+        b = jnp.where(valid, w.astype(dtype) * bias(dsts), 0)
+        c = cum[:, None] + jnp.cumsum(b, axis=1)
+        hit = (c >= thresh[:, None]) & valid & (found < 0)[:, None]
+        any_hit = jnp.any(hit, axis=1)
+        first = jnp.argmax(hit, axis=1)
+        pick = jnp.take_along_axis(dsts, first[:, None], axis=1)[:, 0]
+        found = jnp.where((found < 0) & any_hit, pick, found)
+        return c[:, -1], found
+
+    _, found = _chunk_scan(g, cur_row, deg, chunk, find,
+                           (zerof, cur_row * 0 - 1))
+    # head fallback (reference RandomSample.scala:24): u beyond the final
+    # cumulative (fp underflow / zero rows) -> first neighbor
+    E = g.num_edges
+    head = g.cols[jnp.clip(g.offsets[cur_row], 0, max(E - 1, 0))]
+    return jnp.where(found >= 0, found, head)
+
+
+def cdf_sample_first_order_chunked(g: DeviceGraph, rows: jax.Array,
+                                   u: jax.Array, chunk: int,
+                                   dtype=jnp.float32) -> jax.Array:
+    """First-order (weight-proportional) chunked inverse-CDF draw — the
+    streaming form of cdf_sample_first_order (RandomSample.scala:12-25)."""
+    deg = (g.offsets[rows + 1] - g.offsets[rows]).astype(jnp.int32)
+
+    def acc_total(total, idx, dsts, w, valid):
+        return total + jnp.sum(jnp.where(valid, w.astype(dtype), 0), axis=1)
+
+    zerof = (rows * 0).astype(dtype)  # varying-safe zero (see second-order)
+    total = _chunk_scan(g, rows, deg, chunk, acc_total, zerof)
+    thresh = u.astype(dtype) * total
+
+    def find(carry, idx, dsts, w, valid):
+        cum, found = carry
+        b = jnp.where(valid, w.astype(dtype), 0)
+        c = cum[:, None] + jnp.cumsum(b, axis=1)
+        hit = (c >= thresh[:, None]) & valid & (found < 0)[:, None]
+        any_hit = jnp.any(hit, axis=1)
+        first = jnp.argmax(hit, axis=1)
+        pick = jnp.take_along_axis(dsts, first[:, None], axis=1)[:, 0]
+        found = jnp.where((found < 0) & any_hit, pick, found)
+        return c[:, -1], found
+
+    _, found = _chunk_scan(g, rows, deg, chunk, find,
+                           (zerof, rows * 0 - 1))
+    E = g.num_edges
+    head = g.cols[jnp.clip(g.offsets[rows], 0, max(E - 1, 0))]
+    return jnp.where(found >= 0, found, head)
+
+
+def alias_draw(g: DeviceGraph, rows: jax.Array, u_pos: jax.Array, u_keep: jax.Array) -> jax.Array:
+    """O(1) draw of a neighbor of each row, ∝ edge weight, via Vose alias tables.
+
+    With packed tables: row_meta + one 16-byte alias4 gather (2 random
+    transactions); unpacked fallback: 5 transactions. Bitwise-identical results."""
+    E = g.num_edges
+    if g.alias_packed is not None and g.row_meta is not None:
+        rm = g.row_meta[rows]
+        s, deg = rm[:, 0], rm[:, 1]
+        j = jnp.minimum((u_pos * deg.astype(u_pos.dtype)).astype(jnp.int32),
+                        jnp.maximum(deg - 1, 0))
+        apk = g.alias_packed[jnp.clip(s + j, 0, max(E - 1, 0))]
+        aprob = jax.lax.bitcast_convert_type(apk[:, 0], jnp.float32)
+        return jnp.where(u_keep < aprob, apk[:, 1], apk[:, 2])
     s = g.offsets[rows]
     deg = g.offsets[rows + 1] - s
     j = jnp.minimum((u_pos * deg.astype(u_pos.dtype)).astype(jnp.int32),
@@ -291,8 +444,27 @@ def draw_width(n: int) -> int:
     sharded layouts consume bitwise-identical streams without any reliance on the
     PRNG's counter layout — which in turn allows swapping the threefry impl for
     the much faster XLA RngBitGenerator ('rbg') keys. The strict inequality
-    guarantees draw_width(W) >= any shard padding ceil(W/S)*S for S < QUANTUM."""
+    guarantees draw_width(W) > W, so any lane index >= draw_width(W) can only
+    belong to shard PADDING (start -1, result masked); when a shard layout's
+    padded width ceil(W/S)*S exceeds draw_width(W) (S does not divide
+    DRAW_QUANTUM), `_pad_lanes` extends the stream with zeros for exactly those
+    never-consumed lanes instead of silently clamping (round-2 advisor fix)."""
     return (n // DRAW_QUANTUM + 1) * DRAW_QUANTUM
+
+
+def _pad_lanes(u: jax.Array, n: int) -> jax.Array:
+    """Slice-or-pad the trailing (lane) axis to exactly n.
+
+    Padded lanes (index >= draw_width(n_stream) > n_stream) map to shard-padding
+    walkers only — their start is -1 and every result is masked — so zero-filling
+    them preserves the cross-layout bitwise guarantee for all real walkers while
+    keeping gid-aligned segment layouts (a silent clamp would misalign the
+    distributed engine's u[gid] gathers)."""
+    Wd = u.shape[-1]
+    if n <= Wd:
+        return u[..., :n]
+    pad = [(0, 0)] * (u.ndim - 1) + [(0, n - Wd)]
+    return jnp.pad(u, pad)
 
 
 def make_key(seed: int, impl: str = "threefry") -> jax.Array:
@@ -319,8 +491,9 @@ def round_uniforms(step_key: jax.Array, n: int, n_stream: int | None = None):
     Wd = draw_width(n_stream if n_stream is not None else n)
 
     def draw(j):
-        u = jax.random.uniform(jax.random.fold_in(step_key, j), (3, Wd))
-        return u[0, :n], u[1, :n], u[2, :n]
+        u = _pad_lanes(
+            jax.random.uniform(jax.random.fold_in(step_key, j), (3, Wd)), n)
+        return u[0], u[1], u[2]
     return draw
 
 
@@ -339,9 +512,49 @@ def round_uniforms_batched(step_keys: jax.Array, n: int,
         u = jax.vmap(
             lambda k: jax.random.uniform(jax.random.fold_in(k, j), (3, Wd))
         )(step_keys)                              # [R, 3, Wd]
-        u = u[:, :, :n].transpose(1, 0, 2)        # [3, R, n] (slice, no gather)
+        u = _pad_lanes(u, n).transpose(1, 0, 2)   # [3, R, n] (slice/pad, no gather)
         return tuple(u[i].reshape(-1) for i in range(3))
     return draw
+
+
+def tail_uniforms_batched(step_keys: jax.Array, n: int):
+    """Per-walker-keyed uniforms for TAIL trials (trial index >= DENSE_TRIALS).
+
+    The triple for the walker at global batch position idx (round r = idx // n,
+    in-round lane w = idx % n) at trial j is
+    uniform(fold_in(fold_in(step_keys[r], j), w), (3,)) — a function of (round
+    key, trial, lane) ONLY. Any execution of that trial (dense small-batch
+    finish, full-width overflow drain, compacted straggler tail, or a sharded
+    engine serving the walker remotely) therefore reads identical values while
+    paying PRNG compute only for the lanes it actually serves. This is the
+    straggler-tail lever: the old scheme drew a full (3, draw_width) stream per
+    tail round to feed a width/TAIL_FRAC sub-batch.
+
+    n is the engine's PADDED per-round lane count; real walkers sit at lanes
+    [0, n_stream) in every layout, so (r, w) — and hence the stream — is
+    layout-independent for them.
+
+    THREEFRY KEYS ONLY: threefry is vmap-stable (a vmapped per-lane draw equals
+    the individually-applied draw), which is what makes these values independent
+    of the serving batch's shape. The 'rbg' impl is not — engines must fall back
+    to the legacy full-width tail stream there (see use_tail_draws)."""
+    def draw(j, idx):
+        kj = jax.vmap(lambda k: jax.random.fold_in(k, j))(step_keys)  # [R]
+        r = idx // n
+        w = idx % n
+        u = jax.vmap(
+            lambda k, wi: jax.random.uniform(jax.random.fold_in(k, wi), (3,))
+        )(kj[r], w)
+        return u[:, 0], u[:, 1], u[:, 2]
+    return draw
+
+
+def use_tail_draws(rng_impl: str) -> bool:
+    """Whether tail_uniforms_batched streams are usable: requires a vmap-stable
+    PRNG (threefry). 'rbg' draws change with the vmapped batch shape, which
+    would break the cross-layout bitwise guarantee — those engines keep the
+    full-width legacy tail stream instead."""
+    return rng_impl in ("threefry", "threefry2x32", "", None)
 
 
 DENSE_TRIALS = 2      # full-width trials before straggler compaction
@@ -352,7 +565,8 @@ TAIL_FRAC = 16        # tail buffer = walkers / TAIL_FRAC (floor 256)
 def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
                      prev_id: jax.Array, alive: jax.Array,
                      draw_uniforms, p: float, q: float, n_iters: int = 0,
-                     max_rounds: int = 16, gather=None, k_candidates: int = 4) -> jax.Array:
+                     max_rounds: int = 16, gather=None, k_candidates: int = 4,
+                     tail_draw=None, tail_idx=None) -> jax.Array:
     """Second-order draw by alias candidate + bias acceptance, with straggler
     compaction.
 
@@ -361,7 +575,7 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     (RandomSample.scala:27-44).
 
     Trial schedule (the key TPU cost shape): a walker's result depends ONLY on its
-    per-gid uniform stream and the trial index at which it first accepts, so the
+    per-walker uniform stream and the trial index at which it first accepts, so the
     schedule can be executed at any width without changing results. Walk steps are
     gather-rate-bound (measured ~1.5e8 random-gathered elems/s on v5e) and low-
     acceptance stragglers (bias-class f/max_f as low as min_f/max_f) would hold
@@ -374,11 +588,20 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     last candidate (probability (1-min_accept)^budget, negligible for p,q in
     [1/4, 4]; plan_sampler switches to the exact CDF beyond ratio 32).
 
-    draw_uniforms(j) yields the j-th uniform triple (see round_uniforms); `gather`
-    maps each drawn 1-D array onto the walker batch (distributed shards pass a
-    gid-gather so every walker consumes the same stream regardless of which shard
-    samples it). n_iters retained for signature stability; k_candidates scales the
-    total trial budget.
+    Structural fast paths (bitwise-identical where they overlap the general
+    schedule): p==q==1 makes the bias ≡ 1, so trial 0 always accepts — one alias
+    gather per step, no membership probes, no loops; q==1 makes the member and
+    non-member bias classes equal, so the membership probe is skipped entirely.
+
+    Uniform sources: draw_uniforms(j) yields the j-th full-width uniform triple
+    (see round_uniforms) used for the DENSE_TRIALS dense trials; `gather` maps
+    each drawn 1-D array onto the walker batch (distributed shards pass a
+    gid-gather so every walker consumes the same stream regardless of which
+    shard samples it). Tail trials (j >= DENSE_TRIALS) use tail_draw(j, idx)
+    (see tail_uniforms_batched) with per-walker positions tail_idx, so a tail
+    round pays PRNG compute only for the lanes it serves; when tail_draw is None
+    the dense stream + gather serves all trials (legacy/test path). n_iters
+    retained for signature stability; k_candidates scales the trial budget.
     """
     max_f = max(1.0 / p, 1.0, 1.0 / q)
     max_trials = max_rounds * k_candidates
@@ -391,8 +614,8 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     packed = g.row_meta is not None
 
     # hoist per-walker row metadata out of the candidate loop: these gathers are
-    # invariant across trials (4 fewer random accesses per candidate). The packed
-    # tables serve each pair with ONE 8-byte slice gather instead of two.
+    # invariant across trials. The packed tables serve each pair with ONE 8-byte
+    # slice gather instead of two.
     if packed:
         rm = g.row_meta[cur_row]
         row_start, row_deg = rm[:, 0], rm[:, 1]
@@ -420,27 +643,50 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
             member = hit if member is None else (member | hit)
         return member
 
-    def trial(j, rs, rd, hb, hm, pi, sel):
-        """Trial j for the (sub)batch with row starts rs, degrees rd, hash meta
-        (hb, hm), prev ids pi; sel maps a full-width uniform stream onto the
-        batch. A walker's (cand, accept) depends only on its own stream value at
-        trial j — never on batch width or position — so the schedule can run
-        densely or compacted with identical results."""
-        u_pos, u_keep, u_acc = (sel(u) for u in draw_uniforms(j))
+    def trial(u3, rs, rd, hb, hm, pi):
+        """One trial for the (sub)batch with uniforms u3 = (u_pos, u_keep,
+        u_acc), row starts rs, degrees rd, hash meta (hb, hm), prev ids pi.
+        A walker's (cand, accept) depends only on its own uniform values —
+        never on batch width or position — so the schedule can run densely or
+        compacted with identical results."""
+        u_pos, u_keep, u_acc = u3
         jpos = jnp.minimum((u_pos * rd.astype(u_pos.dtype)).astype(jnp.int32),
                            jnp.maximum(rd - 1, 0))
         k = jnp.clip(rs + jpos, 0, max(E - 1, 0))
         if packed:
             apk = g.alias_packed[k]
             aprob = jax.lax.bitcast_convert_type(apk[:, 0], jnp.float32)
-            pos = jnp.where(u_keep < aprob, jpos, apk[:, 1])
+            cand = jnp.where(u_keep < aprob, apk[:, 1], apk[:, 2])
         else:
             pos = jnp.where(u_keep < g.alias_prob[k], jpos, g.alias_pos[k])
-        cand = g.cols[jnp.clip(rs + pos, 0, max(E - 1, 0))]
-        member = membership(cand, hb, hm)
+            cand = g.cols[jnp.clip(rs + pos, 0, max(E - 1, 0))]
         one = jnp.float32(1.0)
-        f = jnp.where(cand == pi, one / p, jnp.where(member, one, one / q))
+        if q == 1.0:
+            # member and non-member classes are both 1 — no membership probe
+            f = jnp.where(cand == pi, one / p, one)
+        else:
+            member = membership(cand, hb, hm)
+            f = jnp.where(cand == pi, one / p,
+                          jnp.where(member, one, one / q))
         return cand, u_acc * max_f < f
+
+    def dense_u(j):
+        return tuple(pick(u) for u in draw_uniforms(j))
+
+    if p == 1.0 and q == 1.0:
+        # bias ≡ 1 ⇒ f == max_f == 1 ⇒ trial 0 always accepts: emit its
+        # candidate directly (bitwise identical to the full schedule, which
+        # would take trial 0's candidate unconditionally).
+        cand, _ = trial(dense_u(0), row_start, row_deg, hash_base, hash_mask,
+                        prev_id)
+        return cand
+
+    def tail_u(j, idx, sel):
+        """Uniforms for tail trial j of the sub-batch at global positions idx
+        (sel is the legacy full-stream fallback selector)."""
+        if tail_draw is not None:
+            return tail_draw(j, idx)
+        return tuple(sel(u) for u in draw_uniforms(j))
 
     def fold(state, cand, acc):
         """First-accept-wins bookkeeping for one trial."""
@@ -450,11 +696,14 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
         cand_last = jnp.where(~accepted & ~acc, cand, cand_last)
         return accepted | acc, dst, cand_last
 
+    if tail_idx is None:
+        tail_idx = jnp.arange(W, dtype=jnp.int32)
+
     # phase 1: DENSE_TRIALS full-width trials (clears the typical bulk)
     state = (~alive, dead_dst, dead_dst)
     for j in range(min(DENSE_TRIALS, max_trials)):
-        state = fold(state, *trial(j, row_start, row_deg, hash_base, hash_mask,
-                                   prev_id, pick))
+        state = fold(state, *trial(dense_u(j), row_start, row_deg, hash_base,
+                                   hash_mask, prev_id))
     accepted, dst, cand_last = state
 
     s = min(W, max(256, W // TAIL_FRAC))
@@ -469,8 +718,8 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
         def body_d(c):
             st, j = c
             for k in range(TAIL_K):
-                st = fold(st, *trial(j + k, row_start, row_deg, hash_base,
-                                     hash_mask, prev_id, pick))
+                st = fold(st, *trial(tail_u(j + k, tail_idx, pick), row_start,
+                                     row_deg, hash_base, hash_mask, prev_id))
             return st, j + TAIL_K
 
         (accepted, dst, cand_last), _ = jax.lax.while_loop(
@@ -486,8 +735,8 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     def body_o(c):
         st, j = c
         for k in range(TAIL_K):
-            st = fold(st, *trial(j + k, row_start, row_deg, hash_base,
-                                 hash_mask, prev_id, pick))
+            st = fold(st, *trial(tail_u(j + k, tail_idx, pick), row_start,
+                                 row_deg, hash_base, hash_mask, prev_id))
         return st, j + TAIL_K
 
     (accepted, dst, cand_last), j_at = jax.lax.while_loop(
@@ -500,6 +749,7 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     rs_c, rd_c = row_start[cic], row_deg[cic]
     hb_c, hm_c = hash_base[cic], hash_mask[cic]
     pi_c = prev_id[cic] if getattr(prev_id, "ndim", 0) else prev_id
+    ti_c = tail_idx[cic]
     sel_c = lambda u: pick(u)[cic]
     dead_c = cic * 0
 
@@ -510,11 +760,17 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     def body_t(c):
         st, j = c
         for k in range(TAIL_K):
-            st = fold(st, *trial(j + k, rs_c, rd_c, hb_c, hm_c, pi_c, sel_c))
+            st = fold(st, *trial(tail_u(j + k, ti_c, sel_c), rs_c, rd_c,
+                                 hb_c, hm_c, pi_c))
         return st, j + TAIL_K
 
+    # Seed the compacted carry with the dense-phase cand_last so that a walker
+    # whose trial budget is already exhausted (j_at == max_trials after the
+    # overflow drain — the tail loop then never runs) falls back to its last
+    # dense-phase candidate exactly as the dense schedule does, instead of a
+    # bogus local row 0 (round-2 advisor fix).
     (acc_c, dst_c, cl_c), _ = jax.lax.while_loop(
-        cond_t, body_t, ((~valid_c, dead_c, dead_c), j_at))
+        cond_t, body_t, ((~valid_c, dead_c, cand_last[cic]), j_at))
 
     final_c = jnp.where(acc_c, dst_c, cl_c)
     dst = dst.at[ci].set(final_c, mode="drop")

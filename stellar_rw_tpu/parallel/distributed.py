@@ -125,12 +125,19 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
         def step_keys(t):
             return jax.vmap(lambda k: jax.random.fold_in(k, t))(keys_r)
 
+        ns = spec.n_stream or W_pad  # unpadded walker count (stream width source)
+
         def uniforms_full(t):
-            # [W_total] f: segment r is round r's per-walker stream (prefix property
-            # makes it bitwise equal to the single-chip engine's (W,) draws)
-            return jax.vmap(
-                lambda k: jax.random.uniform(k, (W_pad,), dtype=dt))(
-                    step_keys(t)).reshape(-1)
+            # [W_total] f: segment r is round r's per-walker stream. Draw at the
+            # UNPADDED width ns (exactly the single-chip engine's (W,) draws —
+            # threefry lane values depend on the draw shape, so a (W_pad,) draw
+            # would break bitwise parity whenever S does not divide W) and pad
+            # the never-consumed shard-padding lanes to keep segments gid-aligned.
+            u = jax.vmap(
+                lambda k: jax.random.uniform(k, (ns,), dtype=dt))(step_keys(t))
+            if W_pad > ns:
+                u = jnp.pad(u, ((0, 0), (0, W_pad - ns)))
+            return u.reshape(-1)
 
         def sample_req(fcur, fprev, fgid, valid, t, first):
             """Sample a transition for each request (global ids); -1 where
@@ -145,8 +152,18 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
             if spec.sampler == "cdf":
                 u = gather(uniforms_full(t))
                 if first:
-                    dst = sampling.cdf_sample_first_order(
-                        g, cur_row, u, spec.max_degree, dt)
+                    if spec.cdf_chunk:
+                        dst = sampling.cdf_sample_first_order_chunked(
+                            g, cur_row, u, spec.cdf_chunk, dt)
+                    else:
+                        dst = sampling.cdf_sample_first_order(
+                            g, cur_row, u, spec.max_degree, dt)
+                elif spec.cdf_chunk:
+                    # chunked result depends only on (row data, u): identical
+                    # whether served locally or remotely, at any batch mix
+                    dst = sampling.cdf_sample_second_order_chunked(
+                        g, cur_row, prev_row, fprev, u, spec.p, spec.q,
+                        spec.cdf_chunk, dt)
                 else:
                     dst = sampling.cdf_sample_second_order(
                         g, cur_row, prev_row, fprev, u, spec.p, spec.q,
@@ -161,25 +178,40 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                     dst = sampling.rejection_sample(
                         g, cur_row, prev_row, fprev, can, draw, spec.p, spec.q,
                         spec.n_search_iters, spec.max_rounds, gather=gather,
-                        k_candidates=spec.k_candidates)
+                        k_candidates=spec.k_candidates,
+                        tail_draw=(sampling.tail_uniforms_batched(
+                            step_keys(t), W_pad)
+                            if sampling.use_tail_draws(spec.rng_impl)
+                            else None),
+                        tail_idx=fgid_c)
             return jnp.where(can, dst, -1)
 
         a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=True)
 
         def advance(cur, prev, alive, t, first):
-            """One superstep: local fast path + bounded boundary exchange.
-            Returns (dst i32[n] (-1 dead/inactive), diag (crossings, dead, rounds))."""
+            """One superstep: local fast path + bounded boundary exchange,
+            OVERLAPPED (SURVEY.md §5.8; round-2 verdict item 7 — the analog of
+            the reference's per-superstep shuffle, RandomWalk.scala:186-192).
+
+            The first exchange round is PEELED out of the overflow loop: its
+            request all-to-all has no data dependency on the local fast path,
+            so the collective chain (bucket build -> a2a -> remote serve -> a2a
+            back) and the local sampling chain are joined only at the final
+            scatter-merge and XLA's async collectives can fly while local
+            sampling computes. (Inside a while_loop the whole round would
+            depend on the locally-sampled dst through the carry — that was the
+            serialization.) Overflow rounds (rare) stay in the loop.
+
+            Returns (dst i32[n] (-1 dead/inactive),
+                     diag (crossings, dead, exchange rounds))."""
             dest = jnp.where(alive, route[cur], my)
             is_local = dest == my
-            dst = sample_req(cur, prev, gids, alive & is_local, t, first)
             remaining = alive & ~is_local
             crossings = jax.lax.psum(jnp.sum(remaining, dtype=jnp.int32), AXIS)
 
-            def cond(carry):
-                return carry[3] > 0
-
-            def xbody(carry):
-                rem, dst, rounds, _ = carry
+            def exchange(rem, dst):
+                """One bounded exchange round serving up to C requests per
+                destination; returns (still-unserved, merged dst, sent-mask)."""
                 dest_m = jnp.where(rem, dest, S)  # S = out of range -> dropped
                 order = jnp.argsort(dest_m, stable=True)
                 sd = dest_m[order]
@@ -206,12 +238,33 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 back = a2a(dst_r.reshape(S, C))
                 dst = dst.at[s_slot.reshape(-1)].set(
                     back.reshape(-1), mode="drop")
-                rem = rem & ~sent
-                g_rem = jax.lax.psum(jnp.sum(rem, dtype=jnp.int32), AXIS)
-                return rem, dst, rounds + jnp.int32(1), g_rem
+                return rem & ~sent, dst
 
-            _, dst, rounds, _ = jax.lax.while_loop(
-                cond, xbody, (remaining, dst, jnp.int32(0), crossings))
+            if S == 1:
+                # no boundary possible: pure local superstep, zero collectives
+                dst = sample_req(cur, prev, gids, alive & is_local, t, first)
+                rounds = jnp.int32(0)
+            else:
+                # peeled round 0: local sampling is traced AFTER the request
+                # a2a but joins the graph only at the scatter-merge inside
+                # exchange() via the dst argument — evaluation-order freedom
+                # is exactly the overlap window
+                dst_local = sample_req(cur, prev, gids, alive & is_local, t,
+                                       first)
+                rem, dst = exchange(remaining, dst_local)
+                g_rem = jax.lax.psum(jnp.sum(rem, dtype=jnp.int32), AXIS)
+
+                def cond(carry):
+                    return carry[3] > 0
+
+                def xbody(carry):
+                    rem, dst, rounds, _ = carry
+                    rem, dst = exchange(rem, dst)
+                    g_rem = jax.lax.psum(jnp.sum(rem, dtype=jnp.int32), AXIS)
+                    return rem, dst, rounds + jnp.int32(1), g_rem
+
+                _, dst, rounds, _ = jax.lax.while_loop(
+                    cond, xbody, (rem, dst, jnp.int32(1), g_rem))
             dead = jax.lax.psum(
                 jnp.sum(alive & (dst < 0), dtype=jnp.int32), AXIS)
             return dst, jnp.stack([crossings, dead, rounds])
@@ -378,6 +431,8 @@ def distributed_random_walks(
         dtype=dtype,
         n_stream=W,
         rng_impl=rng_impl,
+        cdf_chunk=(sampling.plan_cdf_chunk(n, graph.max_degree)
+                   if sampler == "cdf" else 0),
     )
     starts_dev = jax.device_put(
         jnp.asarray(starts_pad), jax.sharding.NamedSharding(mesh, P(AXIS)))

@@ -48,6 +48,10 @@ class WalkSpec(NamedTuple):
     #                              engines set it so padded layouts share streams
     rng_impl: str = "threefry"   # 'threefry' (cross-platform streams) or 'rbg'
     #                              (XLA RngBitGenerator: ~10x cheaper draws)
+    cdf_chunk: int = 0           # >0: stream the exact-CDF sampler in chunk-wide
+    #                              row slices (O(W*chunk) memory) instead of
+    #                              padding every row to max_degree — the
+    #                              extreme-p/q path on power-law graphs
 
 
 def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
@@ -55,16 +59,23 @@ def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
     dt = jnp.dtype(spec.dtype)
     if spec.sampler == "cdf":
         u = jax.random.uniform(step_key, cur.shape, dtype=dt)
-        dst = sampling.cdf_sample_second_order(
-            g, cur, prev, prev, u, spec.p, spec.q, spec.max_degree,
-            spec.n_search_iters, dt)
+        if spec.cdf_chunk:
+            dst = sampling.cdf_sample_second_order_chunked(
+                g, cur, prev, prev, u, spec.p, spec.q, spec.cdf_chunk, dt)
+        else:
+            dst = sampling.cdf_sample_second_order(
+                g, cur, prev, prev, u, spec.p, spec.q, spec.max_degree,
+                spec.n_search_iters, dt)
     else:
         dst = sampling.rejection_sample(
             g, cur, prev, prev, alive,
             sampling.round_uniforms(step_key, cur.shape[0],
                                     spec.n_stream or None),
             spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
-            k_candidates=spec.k_candidates)
+            k_candidates=spec.k_candidates,
+            tail_draw=(sampling.tail_uniforms_batched(step_key[None],
+                                                      cur.shape[0])
+                       if sampling.use_tail_draws(spec.rng_impl) else None))
     return dst
 
 
@@ -73,7 +84,12 @@ def first_step(g: DeviceGraph, spec: WalkSpec, starts, step_key):
     dt = jnp.dtype(spec.dtype)
     if spec.sampler == "cdf":
         u = jax.random.uniform(step_key, starts.shape, dtype=dt)
-        dst = sampling.cdf_sample_first_order(g, starts, u, spec.max_degree, dt)
+        if spec.cdf_chunk:
+            dst = sampling.cdf_sample_first_order_chunked(
+                g, starts, u, spec.cdf_chunk, dt)
+        else:
+            dst = sampling.cdf_sample_first_order(
+                g, starts, u, spec.max_degree, dt)
     else:
         u_pos, u_keep, _ = sampling.round_uniforms(
             step_key, starts.shape[0], spec.n_stream or None)(0)
@@ -134,8 +150,12 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
             lambda k: jax.random.uniform(k, (W,), dtype=dt))(step_keys(t)).reshape(-1)
 
     if spec.sampler == "cdf":
-        dst0 = sampling.cdf_sample_first_order(
-            g, starts_b, uniforms_1d(0), spec.max_degree, dt)
+        if spec.cdf_chunk:
+            dst0 = sampling.cdf_sample_first_order_chunked(
+                g, starts_b, uniforms_1d(0), spec.cdf_chunk, dt)
+        else:
+            dst0 = sampling.cdf_sample_first_order(
+                g, starts_b, uniforms_1d(0), spec.max_degree, dt)
     else:
         u_pos, u_keep, _ = sampling.round_uniforms_batched(
             step_keys(0), W, spec.n_stream or None)(0)
@@ -146,16 +166,23 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
         cur, prev, alive = carry
         alive = alive & (deg[cur] > 0)
         if spec.sampler == "cdf":
-            dst = sampling.cdf_sample_second_order(
-                g, cur, prev, prev, uniforms_1d(t), spec.p, spec.q,
-                spec.max_degree, spec.n_search_iters, dt)
+            if spec.cdf_chunk:
+                dst = sampling.cdf_sample_second_order_chunked(
+                    g, cur, prev, prev, uniforms_1d(t), spec.p, spec.q,
+                    spec.cdf_chunk, dt)
+            else:
+                dst = sampling.cdf_sample_second_order(
+                    g, cur, prev, prev, uniforms_1d(t), spec.p, spec.q,
+                    spec.max_degree, spec.n_search_iters, dt)
         else:
             dst = sampling.rejection_sample(
                 g, cur, prev, prev, alive,
                 sampling.round_uniforms_batched(step_keys(t), W,
                                                 spec.n_stream or None),
                 spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
-                k_candidates=spec.k_candidates)
+                k_candidates=spec.k_candidates,
+                tail_draw=(sampling.tail_uniforms_batched(step_keys(t), W)
+                           if sampling.use_tail_draws(spec.rng_impl) else None))
         out = jnp.where(alive, dst, -1)
         new_cur = jnp.where(alive, dst, cur)
         new_prev = jnp.where(alive, cur, prev)
@@ -229,6 +256,7 @@ def random_walks(
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
     sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
+    batch = min(num_walks * len(starts), max_batch_walkers)
     spec = WalkSpec(
         walk_length=walk_length, p=float(p), q=float(q), sampler=sampler,
         max_degree=max(graph.max_degree, 1),
@@ -237,6 +265,8 @@ def random_walks(
         dtype=dtype,
         n_stream=len(starts),
         rng_impl=rng_impl,
+        cdf_chunk=(sampling.plan_cdf_chunk(batch, graph.max_degree)
+                   if sampler == "cdf" else 0),
     )
     starts_dev = jnp.asarray(starts, dtype=jnp.int32)
     base = sampling.make_key(seed, rng_impl)

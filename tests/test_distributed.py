@@ -184,3 +184,37 @@ def test_rbg_impl_shard_invariance(karate_path):
             g, walk_length=11, num_walks=2, p=0.5, q=2.0, seed=3,
             num_shards=S, rng_impl="rbg")
         np.testing.assert_array_equal(w, ref, err_msg=f"S={S}")
+
+
+def test_shard_padding_beyond_draw_width():
+    """Round-2 advisor fix, end to end: W one below a DRAW_QUANTUM multiple with
+    a shard count that does not divide the quantum makes W_pad = ceil(W/S)*S
+    exceed draw_width(W); the sharded engine must still be bitwise identical to
+    the single-chip engine (the old clamp misaligned every gid-gathered uniform
+    for rounds r >= 1)."""
+    from stellar_rw_tpu.graph.csr import from_edge_arrays
+    from stellar_rw_tpu.ops import sampling
+    V = sampling.DRAW_QUANTUM - 1                 # 8191; S=3 -> W_pad 8193 > 8192
+    src = np.arange(V)
+    dst = (src + 1) % V
+    g = from_edge_arrays(src, dst, num_vertices=V, symmetrize=True)
+    kw = dict(walk_length=4, num_walks=2, p=0.25, q=0.25, seed=9,
+              sampler="rejection")
+    single = engine.random_walks(g, **kw)
+    multi = distributed.distributed_random_walks(g, num_shards=3, **kw)
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_distributed_cdf_chunked_parity(karate_path, monkeypatch):
+    """The streaming exact-CDF path must keep the cross-layout bitwise
+    guarantee (its result depends only on row data + the walker's uniform,
+    never on batch composition or serving shard)."""
+    from stellar_rw_tpu.ops import sampling
+    monkeypatch.setattr(sampling, "CDF_PAD_LIMIT", 1)
+    monkeypatch.setattr(sampling, "CDF_CHUNK", 4)
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    kw = dict(walk_length=10, num_walks=2, p=100.0, q=100.0, seed=11,
+              sampler="cdf", dtype="float64")
+    single = engine.random_walks(g, **kw)
+    multi = distributed.distributed_random_walks(g, num_shards=8, **kw)
+    np.testing.assert_array_equal(single, multi)

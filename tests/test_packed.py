@@ -28,7 +28,8 @@ def test_pack_tables_window_equals_wrapped_probes():
     """Every padded-window probe set must equal the wrapped (h+i)&mask probes."""
     g = _random_graph()
     g.build_hash_tables()
-    pk = sampling.pack_tables_host(g.offsets, np.ones(g.num_edges, np.float32),
+    pk = sampling.pack_tables_host(g.offsets, g.cols,
+                                   np.ones(g.num_edges, np.float32),
                                    np.zeros(g.num_edges, np.int32),
                                    g.hash_offsets, g.hash_mask, g.hash_table)
     assert pk is not None
@@ -63,13 +64,21 @@ def test_packed_alias_bits_roundtrip():
     graph = _random_graph(weighted=True)
     graph.build_alias_tables()
     graph.build_hash_tables()
-    pk = sampling.pack_tables_host(graph.offsets, graph.alias_prob,
+    pk = sampling.pack_tables_host(graph.offsets, graph.cols, graph.alias_prob,
                                    graph.alias_pos, graph.hash_offsets,
                                    graph.hash_mask, graph.hash_table)
     _, alias_packed, _, _ = pk
-    np.testing.assert_array_equal(alias_packed[:, 0].view(np.float32),
-                                  graph.alias_prob)
-    np.testing.assert_array_equal(alias_packed[:, 1], graph.alias_pos)
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(alias_packed[:, 0]).view(np.float32),
+        graph.alias_prob)
+    # slots 1/2 carry the two possible candidate vertex ids; slot 3 the position
+    np.testing.assert_array_equal(alias_packed[:, 1], graph.cols)
+    deg = graph.offsets[1:] - graph.offsets[:-1]
+    row_of = np.repeat(np.arange(graph.num_vertices), deg)
+    np.testing.assert_array_equal(
+        alias_packed[:, 2],
+        graph.cols[graph.offsets[:-1][row_of] + graph.alias_pos])
+    np.testing.assert_array_equal(alias_packed[:, 3], graph.alias_pos)
 
 
 def test_distributed_packed_matches_unpacked():

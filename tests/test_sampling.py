@@ -200,3 +200,90 @@ def test_extreme_pq_distribution_via_engine():
     for v, pr in expected.items():
         se = np.sqrt(pr * (1 - pr) / M)
         assert abs(freq[v] - pr) < max(5 * se, 2e-3), (v, freq[v], pr)
+
+
+def test_rejection_budget_exhaustion_matches_dense(monkeypatch):
+    """Round-2 advisor fix: when the overflow drain exhausts the trial budget
+    before the stragglers fit the tail buffer (phase 2b never iterates),
+    budget-exhausted walkers must keep their last dense-phase candidate exactly
+    as the dense schedule does — not be forced to local row 0."""
+    rng = np.random.default_rng(0)
+    V, d = 512, 8
+    src = np.repeat(np.arange(V), d)
+    dst = rng.integers(0, V, V * d)
+    keep = src != dst
+    g = csr.from_edge_arrays(src[keep], dst[keep], num_vertices=V)
+    dg = sampling.device_put_graph(g)
+    W = 4096
+    cur = jnp.asarray(rng.integers(0, V, W), jnp.int32)
+    prev = jnp.asarray(rng.integers(0, V, W), jnp.int32)
+    alive = jnp.ones(W, bool)
+    draw = sampling.round_uniforms(jax.random.PRNGKey(4), W)
+    # p=1, q=32: acceptance ~1/32 for the dominant bias class; max_trials=16
+    # leaves ~(31/32)^16 ~ 60% of walkers unaccepted >> the W/16 tail buffer.
+    kw = dict(p=1.0, q=32.0, max_rounds=4, k_candidates=4)
+    compacted = np.asarray(sampling.rejection_sample(
+        dg, cur, prev, prev, alive, draw, **kw))
+    monkeypatch.setattr(sampling, "TAIL_FRAC", 1)  # s == W -> dense branch
+    dense = np.asarray(sampling.rejection_sample(
+        dg, cur, prev, prev, alive, draw, **kw))
+    np.testing.assert_array_equal(compacted, dense)
+    # every result must be an actual neighbor of cur (cand_last always is; the
+    # pre-fix fallback emitted local row 0 -> typically an invalid arc)
+    curs = np.asarray(cur)
+    for i in range(0, W, 97):
+        assert compacted[i] in g.neighbors(int(curs[i]))[0], i
+
+
+def test_round_uniforms_pad_beyond_draw_width():
+    """Round-2 advisor fix: a padded batch wider than draw_width(n_stream) must
+    zero-extend the stream (gid-aligned segments), never silently clamp."""
+    n_stream = sampling.DRAW_QUANTUM - 1          # 8191
+    Wd = sampling.draw_width(n_stream)            # 8192
+    n_pad = n_stream + 2                          # 8193 > Wd
+    key = jax.random.PRNGKey(0)
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(jnp.arange(2))
+    ref = sampling.round_uniforms_batched(keys, n_stream, n_stream)(1)
+    pad = sampling.round_uniforms_batched(keys, n_pad, n_stream)(1)
+    for a, b in zip(ref, pad):
+        a2 = np.asarray(a).reshape(2, n_stream)
+        b2 = np.asarray(b).reshape(2, n_pad)
+        np.testing.assert_array_equal(a2, b2[:, :n_stream])
+        assert np.all(b2[:, Wd:] == 0.0)
+    # unbatched variant too
+    r1 = sampling.round_uniforms(key, n_stream, n_stream)(0)
+    p1 = sampling.round_uniforms(key, n_pad, n_stream)(0)
+    for a, b in zip(r1, p1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[:n_stream])
+        assert np.all(np.asarray(b)[Wd:] == 0.0)
+
+
+def test_cdf_chunked_distribution(monkeypatch):
+    """Streaming (chunked) exact-CDF fallback: same extreme-p/q fixture as the
+    padded path, with chunking forced so every row spans multiple chunks —
+    the realized transition distribution must still match the exact biased
+    probabilities (round-2 verdict item 5: the padded path OOMs at power-law
+    max degrees; this is its O(W*chunk) replacement)."""
+    from stellar_rw_tpu.walk import engine as eng
+    monkeypatch.setattr(sampling, "CDF_PAD_LIMIT", 1)
+    monkeypatch.setattr(sampling, "CDF_CHUNK", 3)
+    adj = {
+        0: [(1, 1.0)],
+        1: [(0, 1.0), (2, 2.0), (3, 1.0), (4, 0.5), (5, 1.5)],
+        2: [(1, 1.0), (0, 1.0)],
+        3: [(1, 1.0)],
+        4: [(1, 1.0)],
+        5: [(1, 1.0), (0, 2.0)],
+    }
+    g = csr.from_adjacency(adj)
+    p = q = 100.0
+    M = 20000
+    starts = np.zeros(M, dtype=np.int32)
+    walks = eng.random_walks(g, walk_length=1, num_walks=1, p=p, q=q, seed=3,
+                             sampler="rejection", starts=starts)
+    assert np.all(walks[:, 1] == 1)
+    expected = oracle.exact_transition_probs(g, 0, 1, p, q)
+    freq = np.bincount(walks[:, 2], minlength=6) / M
+    for v, pr in expected.items():
+        se = np.sqrt(pr * (1 - pr) / M)
+        assert abs(freq[v] - pr) < max(5 * se, 2e-3), (v, freq[v], pr)

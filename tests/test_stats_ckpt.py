@@ -108,3 +108,38 @@ def test_device_corpus_invariants_match_host():
     bad[2, 0] = g.num_vertices + 7
     c = np.asarray(engine.corpus_invariants(dg, bad))
     assert c[0] >= 1 and c[1] >= 1 and c[2] >= 1, c
+
+
+def test_walk_round_checkpoint_resume_bitwise(tmp_path, karate_path):
+    """Round-granular walk checkpoint (round-2 verdict item 8): a run resumed
+    from a partial checkpoint must produce the exact corpus an uninterrupted
+    run produces — and actually consume the checkpointed rounds."""
+    from stellar_rw_tpu.models import node2vec as n2v
+
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    base = ["--cmd", "randomwalk", "--input", karate_path,
+            "--output", str(tmp_path), "--walkLength", "7",
+            "--weighted", "false", "--checkpointEvery", "1"]
+    uninterrupted = engine.random_walks(g, walk_length=7, num_walks=5, seed=0)
+
+    # "interrupted" run: only 2 of the 5 rounds complete before the kill
+    p2 = config.parse(base + ["--numWalks", "2"])
+    w2, resumed = n2v.checkpointed_random_walks(g, p2)
+    assert resumed == 0
+    ckpt = tmp_path / "bin" / n2v.WALK_CKPT
+    assert ckpt.exists()
+    z = np.load(ckpt)
+    assert int(z["completed"]) == 2
+    np.testing.assert_array_equal(w2, uninterrupted[: 2 * g.num_vertices])
+
+    # resume to the full 5 rounds: rounds 0-1 load from the checkpoint, 2-4 are
+    # generated; the result is bitwise identical to the uninterrupted corpus
+    p5 = config.parse(base + ["--numWalks", "5", "--resume", "true"])
+    w5, resumed = n2v.checkpointed_random_walks(g, p5)
+    assert resumed == 2
+    np.testing.assert_array_equal(w5, uninterrupted)
+    assert int(np.load(ckpt)["completed"]) == 5
+
+    # CLI wiring: randomwalk --checkpointEvery goes through the same loop
+    cli.run_job(config.parse(base + ["--numWalks", "3", "--resume", "true"]))
+    assert int(np.load(ckpt)["completed"]) == 3
