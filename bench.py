@@ -273,16 +273,18 @@ def speed_of_light(graph, steps_per_s: float) -> dict:
     chip's measured random-gather rate.
 
     Packed-table rejection sampler per walker per step, dense phase (2 trials),
-    round-3 alias4 layout (candidate cols packed into the 16 B alias row):
-      hoisted: row_meta[cur], hash_meta[prev]      -> 2 gathers, 16 B
-      per trial: alias4 row, hash window           -> 2 gathers, 32 B
-    => >= 6 gathers / >= 80 B of random HBM traffic per step (straggler-tail
+    round-3 layout (alias4 rows carry both candidate ids; membership is one
+    aligned bucket row; per-vertex meta is one [V,4] row with prev's row
+    CARRIED across steps):
+      hoisted: vmeta[cur] (deg + alias base + bucket base)  -> 1 gather, 16 B
+      per trial: alias4 row, membership bucket row          -> 2 gathers, 32 B
+    => >= 5 gathers / >= 80 B of random HBM traffic per step (straggler-tail
     and uniform generation add to it). A number can be HBM-plausible yet still
     impossible against the gather rate: gather_sol_ratio is the binding check.
     """
     bw, kind = _hbm_bw()
     bytes_per_step = 80.0
-    gathers_per_step = 6.0
+    gathers_per_step = 5.0
     implied = steps_per_s * bytes_per_step
     tables = _graph_table_bytes(graph)
     return {
@@ -445,6 +447,53 @@ def quality_probe() -> dict:
             "graph": f"planted {K}-community SBM, {V} V / {g.num_edges} arcs"}
 
 
+def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
+                      train_fracs=(0.1, 0.5, 0.9)) -> dict:
+    """BASELINE config-2 quality benchmark (`python bench.py --quality`):
+    multi-label node classification micro-F1 + link-prediction AUC of the full
+    node2vec pipeline, on BlogCatalog when the dataset directory is present
+    (BLOGCATALOG_DIR or data/blogcatalog; no network in this image), else on a
+    deterministic >=100K-vertex labeled overlapping-community synthetic."""
+    from stellar_rw_tpu.graph import datasets
+    from stellar_rw_tpu.models import eval as ev
+    from stellar_rw_tpu.models import word2vec as w2v
+    from stellar_rw_tpu.walk import engine
+
+    data_dir = data_dir or os.environ.get("BLOGCATALOG_DIR", "data/blogcatalog")
+    if os.path.isdir(data_dir):
+        graph, labels = datasets.load_blogcatalog(data_dir)
+        name = f"blogcatalog ({data_dir})"
+    else:
+        graph, labels = datasets.synth_labeled_graph(
+            V, 10 * V, communities=50, seed=3)
+        name = f"synthetic overlapping-community, {V} V / {graph.num_edges} arcs"
+    t0 = time.time()
+    walks = engine.random_walks(graph, walk_length=40, num_walks=5,
+                                p=0.25, q=0.25, seed=1)
+    cfg = w2v.SGNSConfig(dim=128, window=10, negatives=5, lr=0.05, iters=3,
+                         seed=1, shared_negatives=128)
+    w_in, _ = w2v.train_skipgram(walks, graph.num_vertices, cfg)
+    dt = time.time() - t0
+    deg = graph.degrees
+    rng = np.random.default_rng(0)
+    # sample arcs for the AUC probe (full E x E scoring is unnecessary)
+    m = min(graph.num_edges, 20_000)
+    ei = rng.choice(graph.num_edges, m, replace=False)
+    src_of = np.repeat(np.arange(graph.num_vertices), deg)
+    edges = np.stack([src_of[ei], graph.cols[ei]], 1)
+    out = {
+        "workload": name,
+        "pipeline_s": round(dt, 1),
+        "link_pred_auc": round(float(ev.link_prediction_auc(
+            w_in, edges, graph.num_vertices, seed=0)), 4),
+        "micro_f1": {
+            str(f): round(float(ev.multilabel_micro_f1(
+                w_in, labels, train_frac=f, seed=0)), 4)
+            for f in train_fracs},
+    }
+    return out
+
+
 def pq_sweep(grid=(0.25, 1.0, 4.0)) -> dict:
     """Embedding quality across the node2vec bias grid (BASELINE.json config 4:
     the PPI/Wikipedia p/q sweep, on the synthetic SBM fixture). Run via
@@ -568,5 +617,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--pq-sweep" in sys.argv:
         print(json.dumps(pq_sweep()))
+    elif "--quality" in sys.argv:
+        print(json.dumps(quality_benchmark()))
     else:
         main()

@@ -49,9 +49,9 @@ class ShardedGraphHost:
     # Packed fast-path tables per shard (ops/sampling.pack_tables_host semantics,
     # stacked and padded; None when packing was not applicable on some shard).
     row_meta: np.ndarray | None = None      # i32[S, R_max, 2]
-    hash_meta: np.ndarray | None = None     # i32[S, R_max, 2]
+    hash_meta: np.ndarray | None = None     # i32[S, R_max, 2] (bucket base, nb-1)
     alias_packed: np.ndarray | None = None  # i32[S, E_max, 4]
-    hash_pad: np.ndarray | None = None      # i32[S, H_max + 3*R_max]
+    hash_buckets: np.ndarray | None = None  # i32[S, NB_max, 4]
 
     @property
     def replication_factor(self) -> float:
@@ -162,33 +162,41 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     # Per-shard packed fast-path tables (same transaction-count win as the
     # single-chip engine; ops/sampling.pack_tables_host). Any shard where packing
     # is inapplicable disables it for all (the device graph must be uniform).
-    from ..ops.sampling import HASH_PROBES, pack_tables_host
-    pad = HASH_PROBES - 1
-    row_meta = np.zeros((S, R_max, 2), dtype=np.int32)
-    hash_meta = np.zeros((S, R_max, 2), dtype=np.int32)
-    alias_packed = np.zeros((S, E_max, 4), dtype=np.int32)
-    hash_pad = np.full((S, H_max + pad * R_max), -1, dtype=np.int32)
+    from ..ops.sampling import pack_tables_host
+    pks: list = []
     ok = True
     for s, rows in enumerate(rows_per_shard):
         R = len(rows)
-        E_s = int(offsets[s, R])
-        H_s = int(hoff[s, R - 1] + hmask[s, R - 1] + 1) if R else 0
+        E_s = int(offsets[s, R]) if R else 0
         if R == 0 or E_s == 0:
-            # nothing to sample here: zero row_meta means degree 0 everywhere, so
-            # every local draw is masked; zero hash_meta probes the -1 fill
+            # nothing to sample here: zero row_meta means degree 0 everywhere,
+            # so every local draw is masked; zero hash_meta probes bucket row 0
+            # of the -1 fill (membership always False)
+            pks.append(None)
             continue
         pk = pack_tables_host(
-            offsets[s, :R + 1], cols[s, :E_s], aprob[s, :E_s], apos[s, :E_s],
-            np.concatenate([hoff[s, :R], [H_s]]), hmask[s, :R], htab[s, :H_s])
+            offsets[s, :R + 1], cols[s, :E_s], aprob[s, :E_s], apos[s, :E_s])
         if pk is None:
             ok = False
             break
-        row_meta[s, :R] = pk[0]
-        alias_packed[s, :E_s] = pk[1]
-        hash_meta[s, :R] = pk[2]
-        hash_pad[s, :H_s + pad * R] = pk[3]
-    if not ok:
-        row_meta = hash_meta = alias_packed = hash_pad = None
+        pks.append(pk)
+    if ok:
+        row_meta = np.zeros((S, R_max, 2), dtype=np.int32)
+        hash_meta = np.zeros((S, R_max, 2), dtype=np.int32)
+        alias_packed = np.zeros((S, E_max, 4), dtype=np.int32)
+        NB_max = max((len(pk[3]) for pk in pks if pk is not None), default=1) or 1
+        hash_buckets = np.full((S, NB_max, 4), -1, dtype=np.int32)
+        for s, pk in enumerate(pks):
+            if pk is None:
+                continue
+            R = len(rows_per_shard[s])
+            E_s = int(offsets[s, R])
+            row_meta[s, :R] = pk[0]
+            alias_packed[s, :E_s] = pk[1]
+            hash_meta[s, :R] = pk[2]
+            hash_buckets[s, :len(pk[3])] = pk[3]
+    else:
+        row_meta = hash_meta = alias_packed = hash_buckets = None
 
     return ShardedGraphHost(
         num_shards=S, route=route, offsets=offsets, cols=cols, weights=weights,
@@ -196,4 +204,4 @@ def partition_graph(graph: CSRGraph, num_shards: int,
         hash_table=htab, glob2loc=glob2loc,
         num_owned=num_owned, num_local=num_local,
         row_meta=row_meta, hash_meta=hash_meta,
-        alias_packed=alias_packed, hash_pad=hash_pad)
+        alias_packed=alias_packed, hash_buckets=hash_buckets)

@@ -71,6 +71,46 @@ def node_classification_accuracy(
     return float((pred == labels[te]).mean())
 
 
+def multilabel_micro_f1(
+    vectors: np.ndarray, labels_multihot: np.ndarray,
+    train_frac: float = 0.5, seed: int = 0, epochs: int = 300, lr: float = 0.5,
+) -> float:
+    """Micro-F1 of one-vs-rest logistic probes, node2vec-paper protocol.
+
+    labels_multihot: [V, K] {0,1}. For each test node the top-k_i scoring
+    labels are predicted, where k_i is the node's true label count — the
+    evaluation used for BlogCatalog/PPI/Wikipedia in Grover & Leskovec (2016),
+    which the BASELINE quality configs mirror. All K probes train jointly as
+    one [D, K] sigmoid layer (full-batch GD — one matmul per step)."""
+    rng = np.random.default_rng(seed)
+    V, K = labels_multihot.shape
+    perm = rng.permutation(V)
+    n_train = max(2, int(V * train_frac))
+    tr, te = perm[:n_train], perm[n_train:]
+    X = _normalize(vectors)
+    Y = labels_multihot.astype(np.float64)
+    Wm = np.zeros((X.shape[1], K))
+    b = np.zeros(K)
+    for _ in range(epochs):
+        z = X[tr] @ Wm + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = (p - Y[tr]) / len(tr)
+        Wm -= lr * X[tr].T @ g
+        b -= lr * g.sum(axis=0)
+    scores = X[te] @ Wm + b
+    k_i = Y[te].sum(axis=1).astype(np.int64)
+    order = np.argsort(-scores, axis=1, kind="stable")
+    rank = np.empty_like(order)
+    np.put_along_axis(rank, order, np.broadcast_to(np.arange(K), order.shape),
+                      axis=1)
+    pred = rank < k_i[:, None]
+    true = Y[te] > 0
+    tp = float((pred & true).sum())
+    fp = float((pred & ~true).sum())
+    fn = float((~pred & true).sum())
+    return 2 * tp / max(2 * tp + fp + fn, 1.0)
+
+
 # Zachary karate-club faction labels (original ids 1..34): 1 = Mr. Hi's faction.
 # Public ground truth from Zachary (1977), as distributed with networkx.
 KARATE_MR_HI = {1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 17, 18, 20, 22}

@@ -71,12 +71,16 @@ def run_walks(graph: CSRGraph, params: Params,
         return engine.random_walks(graph, as_numpy=False, **kw)
     from ..parallel import distributed
 
+    lanes = max(1, min(params.lanes, S))
     route = None
     if params.partitioned and home is not None:
-        route = (home.astype(np.int64) % S).astype(np.int32)
+        # route targets GRAPH shards: S devices / lanes-per-shard
+        route = (home.astype(np.int64) % max(S // lanes, 1)).astype(np.int32)
     walks, stats = distributed.distributed_random_walks(
-        graph, num_shards=S, route=route, verbose=True, return_stats=True, **kw)
-    print(f"shards: {S} ({'vcut' if route is not None else 'hash'} routing), "
+        graph, num_shards=S, route=route, verbose=True, return_stats=True,
+        lanes=lanes, **kw)
+    print(f"shards: {stats['num_shards']} x {stats['lanes']} lanes "
+          f"({'vcut' if route is not None else 'hash'} routing), "
           f"replication factor: {stats['replication_factor']:.3f}, "
           f"boundary walkers: {stats['boundary_walkers']}, "
           f"a2a capacity: {stats['capacity']}, "

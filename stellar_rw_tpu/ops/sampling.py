@@ -52,17 +52,31 @@ class DeviceGraph(NamedTuple):
     hash_table: jax.Array    # i32[H] neighbor ids, -1 = empty
     # Packed fast-path tables (pack_tables_host; None = use the unpacked arrays).
     # Random-gather TRANSACTIONS dominate walk-step cost on HBM-resident graphs,
-    # so pairs that are always read together are packed into [*, 2] rows (one
-    # 8-byte slice gather instead of two 4-byte gathers) and the hash tables are
-    # padded so the HASH_PROBES probe window is contiguous (one 16-byte slice
-    # gather instead of four): 11 transactions/step -> 5.
+    # so values that are always read together ride one aligned row gather:
+    # (row start, degree) and (bucket base, mask) as 8-byte rows, the alias
+    # decision + BOTH candidate vertex ids as a 16-byte alias4 row, and the
+    # membership test as a 16-byte bucket row: 11 transactions/step -> 4.
     row_meta: jax.Array | None = None      # i32[V,2] (row start, degree)
-    hash_meta: jax.Array | None = None     # i32[V,2] (padded table base, mask)
+    hash_meta: jax.Array | None = None     # i32[V,2] (bucket row base, nb-1)
     alias_packed: jax.Array | None = None  # i32[E,4] (prob bits, col-if-keep,
     #                                        col-if-alias, alias pos): one 16-byte
     #                                        slice gather yields the CANDIDATE
     #                                        VERTEX directly — no second cols gather
-    hash_pad: jax.Array | None = None      # i32[H+3V] tables with wrap pad
+    hash_buckets: jax.Array | None = None  # i32[NB,4] bucketized membership
+    #                                        tables: a key's ONLY possible home is
+    #                                        bucket hash(key) & (nb-1) of its row,
+    #                                        so membership is one ALIGNED 16-byte
+    #                                        row gather + compare (measured 2.2x
+    #                                        cheaper than the round-2 unaligned
+    #                                        dynamic-slice probe window on v5e)
+    vmeta: jax.Array | None = None         # i32[V,4] = row_meta ++ hash_meta:
+    #                                        (row start, degree, bucket base,
+    #                                        nb-1) as ONE 16-byte row — the
+    #                                        single-chip engine gathers it once
+    #                                        per step for cur and CARRIES prev's
+    #                                        row in the scan, replacing three
+    #                                        separate per-step gathers (deg,
+    #                                        row_meta[cur], hash_meta[prev])
 
     @property
     def num_vertices(self) -> int:
@@ -73,26 +87,86 @@ class DeviceGraph(NamedTuple):
         return self.cols.shape[0]
 
 
-def pack_tables_host(offsets, cols, alias_prob, alias_pos, hash_offsets,
-                     hash_mask, hash_table):
+BUCKET_SLOTS = 4  # membership bucket width: one aligned 16-byte row gather
+
+
+def bucket_tables_host(offsets, cols):
+    """Bucketized per-vertex membership tables, vectorized on host.
+
+    Each vertex's UNIQUE neighbors are placed in nb power-of-two buckets of
+    BUCKET_SLOTS slots; a key's only possible home is bucket
+    hash(key) & (nb - 1), so the device membership test is ONE aligned 16-byte
+    row gather + 4 compares. (The round-2 layout probed an unaligned window of
+    a flat padded table via dynamic_slice — measured 2.2x slower per access
+    than an aligned row gather on v5e.) Buckets that overflow BUCKET_SLOTS
+    double that row's nb and rebuild (rare: average load is <= 2 keys/bucket).
+
+    Returns (hash_meta i32[V,2] = (bucket row base, nb-1), buckets
+    i32[NB, BUCKET_SLOTS], -1 = empty) or None when the layout exceeds i32.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int32)
+    V = len(offsets) - 1
+    E = len(cols)
+    deg = offsets[1:] - offsets[:-1]
+    if E:
+        first = np.ones(E, dtype=bool)
+        first[1:] = cols[1:] != cols[:-1]
+        first[np.clip(offsets[:-1], 0, E - 1)] = True
+        row_of = np.repeat(np.arange(V, dtype=np.int64), deg)
+        keys = cols[first].astype(np.int64)
+        krow = row_of[first]
+        udeg = np.zeros(V, dtype=np.int64)
+        np.add.at(udeg, krow, 1)
+    else:
+        keys = np.zeros(0, dtype=np.int64)
+        krow = np.zeros(0, dtype=np.int64)
+        udeg = np.zeros(V, dtype=np.int64)
+    # nb = pow2ceil(need / 2): average load <= 2 of BUCKET_SLOTS slots
+    need = np.maximum(udeg, 1)
+    nb = (2 ** np.ceil(np.log2(np.maximum(need, 2) / 2.0))).astype(np.int64)
+    h0 = ((keys.astype(np.uint64) * np.uint64(HASH_MULT))
+          & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    idx = np.arange(len(keys), dtype=np.int64)
+    while True:
+        boff = np.zeros(V + 1, dtype=np.int64)
+        np.cumsum(nb, out=boff[1:])
+        NB = int(boff[-1])
+        if NB >= 2**31 // BUCKET_SLOTS:
+            return None  # pathological layout: caller falls back to unpacked
+        gb = boff[:-1][krow] + (h0 & (nb[krow] - 1))
+        order = np.argsort(gb, kind="stable")
+        gbs = gb[order]
+        if len(gbs):
+            newgrp = np.ones(len(gbs), dtype=bool)
+            newgrp[1:] = gbs[1:] != gbs[:-1]
+            rank = idx - np.maximum.accumulate(np.where(newgrp, idx, 0))
+        else:
+            rank = idx
+        over = rank >= BUCKET_SLOTS
+        if not over.any():
+            buckets = np.full((NB, BUCKET_SLOTS), -1, dtype=np.int32)
+            buckets[gbs, rank] = keys[order].astype(np.int32)
+            hash_meta = np.stack([boff[:-1], nb - 1], 1).astype(np.int32)
+            return hash_meta, buckets
+        nb[np.unique(krow[order[over]])] *= 2  # grow + rebuild (rare)
+
+
+def pack_tables_host(offsets, cols, alias_prob, alias_pos):
     """Build the packed fast-path tables (see DeviceGraph) on host, vectorized.
 
-    hash_offsets is the host [V+1] cumulative layout. The padded table duplicates
-    each per-vertex table's first HASH_PROBES-1 slots after its end, so the probe
-    window [base + (h & mask), +HASH_PROBES) reads exactly the slots the wrapped
-    probes (h+i) & mask would (table sizes are >= 8 > HASH_PROBES, csr.py).
     The alias rows carry BOTH possible candidate vertex ids (keep / alias) so a
     trial's candidate comes out of one 16-byte slice gather with no follow-up
-    cols gather. Returns (row_meta, alias_packed, hash_meta, hash_pad) or None
-    when packing is not applicable (empty graph, layouts too large for i32).
+    cols gather; membership rides the aligned bucket tables
+    (bucket_tables_host). Returns (row_meta, alias_packed, hash_meta,
+    hash_buckets) or None when packing is not applicable (empty graph, layouts
+    too large for i32).
     """
     V = len(offsets) - 1
     E = len(alias_pos) if alias_pos is not None else 0
     if V == 0 or E == 0:
         return None
-    pad = HASH_PROBES - 1
-    total = int(hash_offsets[-1])
-    if total + pad * V >= 2**31 or int(offsets[-1]) >= 2**31:
+    if int(offsets[-1]) >= 2**31:
         return None
     deg = offsets[1:] - offsets[:-1]
     row_meta = np.stack([offsets[:-1], deg], 1).astype(np.int32)
@@ -103,16 +177,16 @@ def pack_tables_host(offsets, cols, alias_prob, alias_pos, hash_offsets,
     alias_packed = np.stack(
         [prob_bits, np.asarray(cols, dtype=np.int32), col_alias,
          alias_pos.astype(np.int32)], 1)
-    sizes = hash_mask.astype(np.int64) + 1
-    base = hash_offsets[:-1].astype(np.int64)
-    new_base = base + pad * np.arange(V, dtype=np.int64)
-    hash_pad = np.empty(total + pad * V, dtype=np.int32)
-    vertex_of = np.repeat(np.arange(V, dtype=np.int64), sizes)
-    hash_pad[np.arange(total, dtype=np.int64) + pad * vertex_of] = hash_table
-    for i in range(pad):  # duplicate first slots after each table (sizes >= 8 > pad)
-        hash_pad[new_base + sizes + i] = hash_table[base + i]
-    hash_meta = np.stack([new_base, hash_mask.astype(np.int64)], 1).astype(np.int32)
-    return row_meta, alias_packed, hash_meta, hash_pad
+    bt = bucket_tables_host(offsets, cols)
+    if bt is None:
+        return None
+    hash_meta, hash_buckets = bt
+    return row_meta, alias_packed, hash_meta, hash_buckets
+
+
+def vmeta_host(row_meta: np.ndarray, hash_meta: np.ndarray) -> np.ndarray:
+    """Fuse row_meta and hash_meta into one [V,4] row (see DeviceGraph.vmeta)."""
+    return np.concatenate([row_meta, hash_meta], axis=-1)
 
 
 def device_put_graph(graph, device=None, packed: bool = True) -> DeviceGraph:
@@ -125,8 +199,8 @@ def device_put_graph(graph, device=None, packed: bool = True) -> DeviceGraph:
     graph.build_hash_tables()
     put = lambda x, dt: jax.device_put(jnp.asarray(x, dtype=dt), device)
     pk = pack_tables_host(
-        graph.offsets, graph.cols, graph.alias_prob, graph.alias_pos,
-        graph.hash_offsets, graph.hash_mask, graph.hash_table) if packed else None
+        graph.offsets, graph.cols, graph.alias_prob,
+        graph.alias_pos) if packed else None
     return DeviceGraph(
         offsets=put(graph.offsets, jnp.int32),
         cols=put(graph.cols, jnp.int32),
@@ -139,7 +213,8 @@ def device_put_graph(graph, device=None, packed: bool = True) -> DeviceGraph:
         row_meta=put(pk[0], jnp.int32) if pk else None,
         alias_packed=put(pk[1], jnp.int32) if pk else None,
         hash_meta=put(pk[2], jnp.int32) if pk else None,
-        hash_pad=put(pk[3], jnp.int32) if pk else None,
+        hash_buckets=put(pk[3], jnp.int32) if pk else None,
+        vmeta=put(vmeta_host(pk[0], pk[2]), jnp.int32) if pk else None,
     )
 
 
@@ -411,12 +486,22 @@ def cdf_sample_first_order_chunked(g: DeviceGraph, rows: jax.Array,
     return jnp.where(found >= 0, found, head)
 
 
-def alias_draw(g: DeviceGraph, rows: jax.Array, u_pos: jax.Array, u_keep: jax.Array) -> jax.Array:
+def alias_draw(g: DeviceGraph, rows: jax.Array, u_pos: jax.Array,
+               u_keep: jax.Array, meta=None) -> jax.Array:
     """O(1) draw of a neighbor of each row, ∝ edge weight, via Vose alias tables.
 
     With packed tables: row_meta + one 16-byte alias4 gather (2 random
-    transactions); unpacked fallback: 5 transactions. Bitwise-identical results."""
+    transactions); unpacked fallback: 5 transactions. meta = (row start, degree)
+    already gathered by the caller skips the row_meta gather.
+    Bitwise-identical results on every path."""
     E = g.num_edges
+    if meta is not None and g.alias_packed is not None:
+        s, deg = meta
+        j = jnp.minimum((u_pos * deg.astype(u_pos.dtype)).astype(jnp.int32),
+                        jnp.maximum(deg - 1, 0))
+        apk = g.alias_packed[jnp.clip(s + j, 0, max(E - 1, 0))]
+        aprob = jax.lax.bitcast_convert_type(apk[:, 0], jnp.float32)
+        return jnp.where(u_keep < aprob, apk[:, 1], apk[:, 2])
     if g.alias_packed is not None and g.row_meta is not None:
         rm = g.row_meta[rows]
         s, deg = rm[:, 0], rm[:, 1]
@@ -566,7 +651,7 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
                      prev_id: jax.Array, alive: jax.Array,
                      draw_uniforms, p: float, q: float, n_iters: int = 0,
                      max_rounds: int = 16, gather=None, k_candidates: int = 4,
-                     tail_draw=None, tail_idx=None) -> jax.Array:
+                     tail_draw=None, tail_idx=None, meta=None) -> jax.Array:
     """Second-order draw by alias candidate + bias acceptance, with straggler
     compaction.
 
@@ -615,8 +700,11 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
 
     # hoist per-walker row metadata out of the candidate loop: these gathers are
     # invariant across trials. The packed tables serve each pair with ONE 8-byte
-    # slice gather instead of two.
-    if packed:
+    # slice gather instead of two; `meta` = (row_start, row_deg, hash_base,
+    # hash_mask) precomputed by the caller (the vmeta carry) skips them entirely.
+    if meta is not None:
+        row_start, row_deg, hash_base, hash_mask = meta
+    elif packed:
         rm = g.row_meta[cur_row]
         row_start, row_deg = rm[:, 0], rm[:, 1]
         hmeta = g.hash_meta[prev_row]
@@ -628,14 +716,12 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
         hash_mask = g.hash_mask[prev_row]
 
     def membership(cand, hb, hm):
-        """cand in N(prev): 4 probe slots as one contiguous window gather on the
-        padded tables (packed), else HASH_PROBES separate gathers."""
+        """cand in N(prev): one ALIGNED bucket-row gather + 4 compares (packed;
+        a key's only possible home is bucket h & hm of its row), else
+        HASH_PROBES separate open-addressing gathers (unpacked fallback)."""
         h = (cand.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
         if packed:
-            start = hb + (h & hm)
-            win = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(g.hash_pad, (s,), (HASH_PROBES,))
-            )(start)
+            win = g.hash_buckets[hb + (h & hm)]   # [*, BUCKET_SLOTS]
             return jnp.any(win == cand[:, None], axis=1)
         member = None
         for i in range(HASH_PROBES):

@@ -55,6 +55,7 @@ from ..ops.sampling import DeviceGraph
 from ..walk.engine import WalkSpec
 
 AXIS = "shards"
+LANE = "lanes"   # devices SHARING one graph shard (per-host replication domain)
 
 logger = logging.getLogger("stellar_rw_tpu.distributed")
 
@@ -70,33 +71,42 @@ def _key_data(key) -> jax.Array:
     return key  # legacy uint32[2] threefry key
 
 
-def make_mesh(num_shards: int | None = None) -> Mesh:
+def make_mesh(num_shards: int | None = None, lanes: int = 1) -> Mesh:
+    """2-D (shards x lanes) device mesh. Graph arrays shard over `shards` and
+    REPLICATE over `lanes` — the TPU analog of the reference sharing one
+    GraphMap per executor across its task slots (GraphMap.scala:11; SURVEY.md
+    §2.3-3): lanes chips serve one CSR shard, cutting halo replication by
+    ~lanes while walkers stay sharded over all shards*lanes devices."""
     devs = jax.devices()
-    n = num_shards or len(devs)
-    return Mesh(np.array(devs[:n]), (AXIS,))
+    n = num_shards or (len(devs) // max(lanes, 1))
+    return Mesh(np.array(devs[:n * lanes]).reshape(n, lanes), (AXIS, LANE))
 
 
-@partial(jax.jit, static_argnames=("spec", "num_walks", "S", "C", "mesh"))
+@partial(jax.jit, static_argnames=("spec", "num_walks", "S", "C", "mesh", "L"))
 def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                             spec: WalkSpec, num_walks: int, S: int, C: int,
-                            mesh: Mesh):
-    """All num_walks rounds of one walk per (padded) start vertex across S shards,
-    in a single dispatch.
+                            mesh: Mesh, L: int = 1):
+    """All num_walks rounds of one walk per (padded) start vertex across S graph
+    shards x L lanes, in a single dispatch.
 
     Returns (paths i32[R*W_pad, L+2], diag i32[L+1, 3]): paths row r*W_pad + w is
     round r of walker w (-1 padded, bitwise equal to engine.walk_corpus); diag row t
     is (boundary walkers, new dead-ends, exchange rounds) at superstep t.
 
     `arrays` = stacked ShardedGraphHost arrays already as jnp; starts_pad length is a
-    multiple of S; padded entries must carry start -1 (never sampled, all-(-1) rows).
-    C = per-destination bucket capacity of the boundary all-to-all (static).
+    multiple of S*L; padded entries must carry start -1 (never sampled, all-(-1)
+    rows). C = per-destination bucket capacity of the boundary all-to-all (static).
+    L > 1 runs `lanes` devices per graph shard (shard replicated across them,
+    walkers split; remote requests balance over the owner's lanes) — the
+    per-executor GraphMap sharing of the reference (SURVEY.md §2.3-3).
     """
     W_pad = starts_pad.shape[0]
     R = num_walks
+    D = S * L                    # total walk devices
     W_total = R * W_pad          # global walker count (uniform-stream length)
-    n = W_total // S             # walkers per shard
+    n = W_total // D             # walkers per device
     dt = jnp.dtype(spec.dtype)
-    L = spec.walk_length
+    Lw = spec.walk_length
 
     def shard_fn(offsets, cols, weights, aprob, apos, hoff, hmask, htab,
                  glob2loc, packed, route, starts_s, key_raw, round_offset):
@@ -109,12 +119,13 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                         hash_offsets=hoff[0], hash_mask=hmask[0], hash_table=htab[0],
                         **pk)
         g2l = glob2loc[0]
-        my = jax.lax.axis_index(AXIS).astype(jnp.int32)
-        # shard s owns global walker ids [s*n, (s+1)*n); walker (round r, start w)
-        # has gid r*W_pad + w — the index into the per-round uniform streams
-        gids = my * n + jnp.arange(n, dtype=jnp.int32)
-        starts_l = jnp.tile(starts_s, R) if S == 1 else _shard_slice_of_tiled(
-            starts_s, gids, W_pad, S)
+        my = jax.lax.axis_index(AXIS).astype(jnp.int32)      # my graph shard
+        my_dev = (my * L + jax.lax.axis_index(LANE)).astype(jnp.int32)
+        # device d owns global walker ids [d*n, (d+1)*n); walker (round r,
+        # start w) has gid r*W_pad + w — the index into per-round streams
+        gids = my_dev * n + jnp.arange(n, dtype=jnp.int32)
+        starts_l = jnp.tile(starts_s, R) if D == 1 else _shard_slice_of_tiled(
+            starts_s, gids, W_pad, D)
         real = starts_l >= 0
         start_rows = jnp.maximum(starts_l, 0)
         slots = jnp.arange(n, dtype=jnp.int32)
@@ -186,7 +197,8 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                         tail_idx=fgid_c)
             return jnp.where(can, dst, -1)
 
-        a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=True)
+        a2a = lambda x: jax.lax.all_to_all(x, (AXIS, LANE), 0, 0, tiled=True)
+        psum_all = lambda x: jax.lax.psum(x, (AXIS, LANE))
 
         def advance(cur, prev, alive, t, first):
             """One superstep: local fast path + bounded boundary exchange,
@@ -204,27 +216,29 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
 
             Returns (dst i32[n] (-1 dead/inactive),
                      diag (crossings, dead, exchange rounds))."""
-            dest = jnp.where(alive, route[cur], my)
-            is_local = dest == my
+            dest_shard = jnp.where(alive, route[cur], my)
+            is_local = dest_shard == my   # ANY lane of my shard serves locally
             remaining = alive & ~is_local
-            crossings = jax.lax.psum(jnp.sum(remaining, dtype=jnp.int32), AXIS)
+            crossings = psum_all(jnp.sum(remaining, dtype=jnp.int32))
+            # remote requests balance across the owner's L lanes by walker id
+            dest = dest_shard * L + (gids % L if L > 1 else 0)
 
             def exchange(rem, dst):
                 """One bounded exchange round serving up to C requests per
-                destination; returns (still-unserved, merged dst, sent-mask)."""
-                dest_m = jnp.where(rem, dest, S)  # S = out of range -> dropped
+                destination device; returns (still-unserved, merged dst)."""
+                dest_m = jnp.where(rem, dest, D)  # D = out of range -> dropped
                 order = jnp.argsort(dest_m, stable=True)
                 sd = dest_m[order]
-                counts = jnp.zeros((S,), jnp.int32).at[dest_m].add(
+                counts = jnp.zeros((D,), jnp.int32).at[dest_m].add(
                     1, mode="drop")
                 bstart = jnp.concatenate(
                     [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-                rank = slots - bstart[jnp.clip(sd, 0, S - 1)]
+                rank = slots - bstart[jnp.clip(sd, 0, D - 1)]
                 sent = jnp.zeros((n,), bool).at[order].set(
-                    (sd < S) & (rank < C))
+                    (sd < D) & (rank < C))
 
                 def put(field, fill):
-                    buf = jnp.full((S, C), fill, field.dtype)
+                    buf = jnp.full((D, C), fill, field.dtype)
                     return buf.at[sd, rank].set(field[order], mode="drop")
 
                 s_cur = put(cur, 0)
@@ -235,12 +249,12 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 fgid = r_gid.reshape(-1)
                 dst_r = sample_req(r_cur.reshape(-1), r_prev.reshape(-1),
                                    fgid, fgid >= 0, t, first)
-                back = a2a(dst_r.reshape(S, C))
+                back = a2a(dst_r.reshape(D, C))
                 dst = dst.at[s_slot.reshape(-1)].set(
                     back.reshape(-1), mode="drop")
                 return rem & ~sent, dst
 
-            if S == 1:
+            if D == 1:
                 # no boundary possible: pure local superstep, zero collectives
                 dst = sample_req(cur, prev, gids, alive & is_local, t, first)
                 rounds = jnp.int32(0)
@@ -252,7 +266,7 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 dst_local = sample_req(cur, prev, gids, alive & is_local, t,
                                        first)
                 rem, dst = exchange(remaining, dst_local)
-                g_rem = jax.lax.psum(jnp.sum(rem, dtype=jnp.int32), AXIS)
+                g_rem = psum_all(jnp.sum(rem, dtype=jnp.int32))
 
                 def cond(carry):
                     return carry[3] > 0
@@ -260,13 +274,12 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 def xbody(carry):
                     rem, dst, rounds, _ = carry
                     rem, dst = exchange(rem, dst)
-                    g_rem = jax.lax.psum(jnp.sum(rem, dtype=jnp.int32), AXIS)
+                    g_rem = psum_all(jnp.sum(rem, dtype=jnp.int32))
                     return rem, dst, rounds + jnp.int32(1), g_rem
 
                 _, dst, rounds, _ = jax.lax.while_loop(
                     cond, xbody, (rem, dst, jnp.int32(1), g_rem))
-            dead = jax.lax.psum(
-                jnp.sum(alive & (dst < 0), dtype=jnp.int32), AXIS)
+            dead = psum_all(jnp.sum(alive & (dst < 0), dtype=jnp.int32))
             return dst, jnp.stack([crossings, dead, rounds])
 
         first, diag0 = advance(start_rows, start_rows, real, 0, first=True)
@@ -283,7 +296,7 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
 
         cur0 = jnp.where(alive0, first, start_rows)
         (_, _, _), (steps, diags) = jax.lax.scan(
-            body, (cur0, start_rows, alive0), jnp.arange(1, L + 1))
+            body, (cur0, start_rows, alive0), jnp.arange(1, Lw + 1))
         paths = jnp.concatenate(
             [jnp.where(real, starts_l, -1)[:, None],
              jnp.where(alive0, first, -1)[:, None],
@@ -295,21 +308,23 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
         shard_fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
                   P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                  P(AXIS, None), P(AXIS), P(None), P(AXIS), P(None), P()),
-        out_specs=(P(AXIS, None), P(None, None)))
+                  P(AXIS, None), P(AXIS), P(None), P((AXIS, LANE)), P(None),
+                  P()),
+        out_specs=(P((AXIS, LANE), None), P(None, None)))
     return fn(*arrays, route, starts_pad, _key_data(key), round_offset)
 
 
-def _shard_slice_of_tiled(starts_s, gids, W_pad: int, S: int):
+def _shard_slice_of_tiled(starts_s, gids, W_pad: int, D: int):
     """starts for my gid range of the R-times-tiled global start array.
 
-    The global walker order is gid = r*W_pad + w; shard s holds a contiguous gid
-    slice, which maps back to start index gid % W_pad. starts_s is only my W_pad/S
-    slice of the starts array, so fetch the full array via the replicated axis:
-    all shards hold identical tiles after an all_gather (cheap: starts are i32[W_pad]
-    once per corpus, not per step).
+    The global walker order is gid = r*W_pad + w; device d holds a contiguous
+    gid slice, which maps back to start index gid % W_pad. starts_s is only my
+    W_pad/D slice of the starts array, so fetch the full array via an
+    all_gather over both mesh axes (cheap: starts are i32[W_pad] once per
+    corpus, not per step).
     """
-    starts_full = jax.lax.all_gather(starts_s, AXIS, tiled=True)  # [W_pad]
+    starts_full = jax.lax.all_gather(
+        starts_s, (AXIS, LANE), tiled=True)  # [W_pad]
     return starts_full[gids % W_pad]
 
 
@@ -325,7 +340,7 @@ def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
         "row_meta": put(hsg.row_meta, jnp.int32, shard),
         "hash_meta": put(hsg.hash_meta, jnp.int32, shard),
         "alias_packed": put(hsg.alias_packed, jnp.int32, shard),
-        "hash_pad": put(hsg.hash_pad, jnp.int32, shard),
+        "hash_buckets": put(hsg.hash_buckets, jnp.int32, shard),
     }
     arrays = (
         put(hsg.offsets, jnp.int32, shard),
@@ -397,18 +412,29 @@ def distributed_random_walks(
     verbose: bool = False,
     return_stats: bool = False,
     rng_impl: str = "threefry",
+    lanes: int = 1,
 ):
     """Sharded corpus generation mirroring engine.random_walks — bitwise identical
-    results for any shard count / route / exchange capacity (same counter-based
-    streams). One device dispatch for ALL rounds.
+    results for any shard count / lane count / route / exchange capacity (same
+    counter-based streams). One device dispatch for ALL rounds.
 
     route: explicit vertex->shard map (the VCut policy, reference
     VCutRandomWalk.scala:92-134); None = hash policy dense_id % S (reference
     RandomWalk.scala:16). capacity: boundary all-to-all bucket size; None = auto
-    from the measured boundary-arc fraction.
+    from the measured boundary-arc fraction. lanes: devices SHARING each graph
+    shard (num_shards total devices = num_shards/lanes graph shards x lanes;
+    the per-executor GraphMap sharing of the reference, SURVEY.md §2.3-3 —
+    halo replication shrinks by ~lanes).
     """
-    mesh = make_mesh(num_shards)
-    S = mesh.devices.size
+    import jax as _jax
+    D_req = num_shards or len(_jax.devices())
+    lanes = max(1, min(lanes, D_req))
+    assert D_req % lanes == 0, \
+        f"device count {D_req} not divisible by lanes={lanes}"
+    mesh = make_mesh(D_req // lanes, lanes)
+    S = mesh.devices.shape[0]          # graph shards
+    L = lanes
+    D = S * L                          # walk devices
     hsg = partition_graph(graph, S, route)
     if verbose:
         log_shard_stats(hsg)
@@ -416,11 +442,11 @@ def distributed_random_walks(
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
     W = len(starts)
-    W_pad = -(-W // S) * S
+    W_pad = -(-W // D) * D
     starts_pad = np.full(W_pad, -1, dtype=np.int32)
     starts_pad[:W] = starts
-    n = num_walks * W_pad // S
-    C = capacity if capacity is not None else auto_capacity(graph, hsg.route, S, n)
+    n = num_walks * W_pad // D
+    C = capacity if capacity is not None else auto_capacity(graph, hsg.route, D, n)
     C = max(1, min(C, n))
     sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
     spec = WalkSpec(
@@ -435,10 +461,12 @@ def distributed_random_walks(
                    if sampler == "cdf" else 0),
     )
     starts_dev = jax.device_put(
-        jnp.asarray(starts_pad), jax.sharding.NamedSharding(mesh, P(AXIS)))
+        jnp.asarray(starts_pad),
+        jax.sharding.NamedSharding(mesh, P((AXIS, LANE))))
     key = sampling.make_key(seed, rng_impl)
     paths, diag = distributed_walk_corpus(
-        arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C, mesh)
+        arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C,
+        mesh, L)
     walks = np.asarray(paths).reshape(num_walks, W_pad, -1)[:, :W].reshape(
         num_walks * W, -1)
     diag = np.asarray(diag)
@@ -447,6 +475,7 @@ def distributed_random_walks(
     if return_stats:
         stats = {
             "num_shards": S,
+            "lanes": L,
             "capacity": C,
             "replication_factor": hsg.replication_factor,
             "boundary_walkers": int(diag[:, 0].sum()),

@@ -72,13 +72,14 @@ def maybe_initialize_from_env() -> bool:
 
 
 def global_mesh(num_shards: int | None = None):
-    """1-D mesh over the GLOBAL device list (all processes)."""
+    """(shards x 1) mesh over the GLOBAL device list (all processes) — the
+    trivial-lane form of distributed.make_mesh."""
     import jax
     from jax.sharding import Mesh
 
     devs = jax.devices()
     n = num_shards or len(devs)
-    return Mesh(np.array(devs[:n]), (AXIS,))
+    return Mesh(np.array(devs[:n]).reshape(n, 1), (AXIS, distributed.LANE))
 
 
 def _put_global(x: np.ndarray, mesh, spec):
@@ -101,7 +102,7 @@ def device_put_sharded_graph(hsg, mesh):
         "row_meta": put(hsg.row_meta, np.int32, P(AXIS)),
         "hash_meta": put(hsg.hash_meta, np.int32, P(AXIS)),
         "alias_packed": put(hsg.alias_packed, np.int32, P(AXIS)),
-        "hash_pad": put(hsg.hash_pad, np.int32, P(AXIS)),
+        "hash_buckets": put(hsg.hash_buckets, np.int32, P(AXIS)),
     }
     arrays = (
         put(hsg.offsets, np.int32, P(AXIS)),

@@ -53,6 +53,12 @@ class Params:
     shards: int = 0               # graph shards / devices for the walk engine;
     #                               0 = auto: 1, unless --partitioned true, then
     #                               min(devices, rddPartitions)
+    lanes: int = 1                # devices SHARING each graph shard (the
+    #                               per-host replication domain — the reference
+    #                               shares one GraphMap per executor,
+    #                               GraphMap.scala:11): total walk devices =
+    #                               (shards/lanes) graph shards x lanes, cutting
+    #                               halo replication by ~lanes
     seed: int = 0
     sampler: str = "rejection"  # "rejection" (alias+accept, prod) | "cdf" (exact inverse-CDF)
     w2v_negatives: int = 5
@@ -126,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="graph shards (devices) for the walk engine; 0 = auto "
                          "(1 unless --partitioned true, then min(devices, "
                          "rddPartitions)); >1 runs the sharded shard_map engine")
+    ap.add_argument("--lanes", type=int, default=d.lanes,
+                    help="devices sharing each graph shard (per-host replication "
+                         "domain; walk devices = shards, graph shards = "
+                         "shards/lanes)")
     ap.add_argument("--seed", type=int, default=d.seed, help="PRNG seed (counter-based keys)")
     ap.add_argument("--sampler", choices=["rejection", "cdf"], default=d.sampler,
                     help="transition sampler: rejection (alias+accept) or cdf (exact inverse-CDF)")
@@ -170,7 +180,7 @@ def parse(argv: list[str]) -> Params | None:
         directed=ns.directed, input=ns.input, output=ns.output,
         rdd_partitions=ns.rddPartitions, single_output=ns.singleOutput,
         partitioned=ns.partitioned, cmd=TaskName(ns.cmd), shards=ns.shards,
-        seed=ns.seed,
+        lanes=ns.lanes, seed=ns.seed,
         sampler=ns.sampler, w2v_negatives=ns.negatives,
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
         shared_negatives=ns.sharedNegatives, w2v_model_shards=ns.w2vModelShards,

@@ -149,6 +149,50 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
         return jax.vmap(
             lambda k: jax.random.uniform(k, (W,), dtype=dt))(step_keys(t)).reshape(-1)
 
+    use_vmeta = spec.sampler == "rejection" and g.vmeta is not None
+
+    if use_vmeta:
+        # vmeta carry: ONE [V,4] row gather per step serves the degree/alive
+        # check, the alias row start, AND (carried one step) prev's membership
+        # bucket meta — replacing three separate per-step gathers (deg[cur],
+        # row_meta[cur], hash_meta[prev]). Bitwise-identical corpus: the same
+        # values flow to the sampler, only their fetch path changes.
+        vm0 = g.vmeta[starts_b]
+        alive0 = vm0[:, 1] > 0
+        u_pos, u_keep, _ = sampling.round_uniforms_batched(
+            step_keys(0), W, spec.n_stream or None)(0)
+        dst0 = sampling.alias_draw(g, starts_b, u_pos, u_keep,
+                                   meta=(vm0[:, 0], vm0[:, 1]))
+        first = jnp.where(alive0, dst0, -1)
+
+        def body_vm(carry, t):
+            cur, prev, alive, pm = carry
+            vm = g.vmeta[jnp.maximum(cur, 0)]
+            alive = alive & (vm[:, 1] > 0)
+            dst = sampling.rejection_sample(
+                g, cur, prev, prev, alive,
+                sampling.round_uniforms_batched(step_keys(t), W,
+                                                spec.n_stream or None),
+                spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
+                k_candidates=spec.k_candidates,
+                tail_draw=(sampling.tail_uniforms_batched(step_keys(t), W)
+                           if sampling.use_tail_draws(spec.rng_impl)
+                           else None),
+                meta=(vm[:, 0], vm[:, 1], pm[:, 2], pm[:, 3]))
+            out = jnp.where(alive, dst, -1)
+            new_cur = jnp.where(alive, dst, cur)
+            new_prev = jnp.where(alive, cur, prev)
+            new_pm = jnp.where(alive[:, None], vm, pm)
+            return (new_cur, new_prev, alive, new_pm), out
+
+        (_, _, _, _), cols = jax.lax.scan(
+            body_vm, (jnp.where(alive0, first, starts_b), starts_b, alive0,
+                      vm0),
+            jnp.arange(1, spec.walk_length + 1))
+        return jnp.concatenate(
+            [starts_b[:, None], first[:, None], cols.T.astype(jnp.int32)],
+            axis=1)
+
     if spec.sampler == "cdf":
         if spec.cdf_chunk:
             dst0 = sampling.cdf_sample_first_order_chunked(

@@ -218,3 +218,25 @@ def test_distributed_cdf_chunked_parity(karate_path, monkeypatch):
     single = engine.random_walks(g, **kw)
     multi = distributed.distributed_random_walks(g, num_shards=8, **kw)
     np.testing.assert_array_equal(single, multi)
+
+
+def test_lanes_share_graph_shards(karate_path):
+    """--lanes: several devices share one graph shard (the reference's
+    per-executor GraphMap sharing, GraphMap.scala:11). The corpus must stay
+    bitwise identical to the single-chip engine, and the replication factor
+    must drop to the (device_count / lanes)-way partition's."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    kw = dict(walk_length=9, num_walks=2, p=0.5, q=2.0, seed=4,
+              sampler="rejection")
+    single = engine.random_walks(g, **kw)
+    multi, stats = distributed.distributed_random_walks(
+        g, num_shards=8, lanes=2, return_stats=True, **kw)
+    np.testing.assert_array_equal(single, multi)
+    assert stats["num_shards"] == 4 and stats["lanes"] == 2
+    rf4 = partition.partition_graph(g, 4).replication_factor
+    rf8 = partition.partition_graph(g, 8).replication_factor
+    assert abs(stats["replication_factor"] - rf4) < 1e-9
+    assert rf4 <= rf8
+    # boundary accounting still exact: requests for vertices on my own shard
+    # are local regardless of lane
+    assert stats["boundary_walkers"] > 0

@@ -1,7 +1,8 @@
 """Packed fast-path tables (ops/sampling.pack_tables_host + rejection_sample).
 
-The packed tables change only HOW bytes are fetched (5 random HBM transactions
-per walk step instead of 11), never WHAT is sampled: the same counter-based
+The packed tables change only HOW bytes are fetched (aligned-row gathers, 4
+random HBM transactions per single-trial walk step instead of 11), never WHAT
+is sampled: the same counter-based
 uniform streams drive the same alias/acceptance decisions, so corpora must be
 bitwise identical packed vs unpacked.
 """
@@ -24,26 +25,33 @@ def _random_graph(V=300, E=3000, seed=3, weighted=True):
                             symmetrize=True)
 
 
-def test_pack_tables_window_equals_wrapped_probes():
-    """Every padded-window probe set must equal the wrapped (h+i)&mask probes."""
+def test_bucket_tables_exact_membership():
+    """Bucketized membership layout: every unique neighbor of v sits in its ONE
+    designated bucket (hash & mask) of v's rows, and nothing else does — so the
+    single aligned bucket-row gather is an exact membership test."""
     g = _random_graph()
-    g.build_hash_tables()
-    pk = sampling.pack_tables_host(g.offsets, g.cols,
-                                   np.ones(g.num_edges, np.float32),
-                                   np.zeros(g.num_edges, np.int32),
-                                   g.hash_offsets, g.hash_mask, g.hash_table)
-    assert pk is not None
-    _, _, hash_meta, hash_pad = pk
+    bt = sampling.bucket_tables_host(g.offsets, g.cols)
+    assert bt is not None
+    hash_meta, buckets = bt
     V = g.num_vertices
-    for v in range(0, V, 17):
-        base = int(g.hash_offsets[v])
-        mask = int(g.hash_mask[v])
-        nbase = int(hash_meta[v, 0])
-        assert int(hash_meta[v, 1]) == mask
-        for h in range(mask + 1):
-            wrapped = [g.hash_table[base + ((h + i) & mask)] for i in range(4)]
-            window = hash_pad[nbase + h: nbase + h + 4]
-            assert list(window) == [int(x) for x in wrapped], (v, h)
+    for v in range(0, V, 7):
+        base, mask = int(hash_meta[v, 0]), int(hash_meta[v, 1])
+        nbrs = set(int(c) for c in g.neighbors(v)[0])
+        # all neighbors present in their designated bucket
+        for k in nbrs:
+            h = int((np.uint64(k) * np.uint64(sampling.HASH_MULT)) & np.uint64(0xFFFFFFFF))
+            row = buckets[base + (h & mask)]
+            assert k in row.tolist(), (v, k)
+        # bucket rows of v contain only v's neighbors or empties
+        stored = set(int(x) for x in buckets[base: base + mask + 1].ravel()
+                     if x >= 0)
+        assert stored == nbrs, v
+        # negative probes: non-neighbors never match their designated bucket
+        for k in range(0, V, 13):
+            if k in nbrs:
+                continue
+            h = int((np.uint64(k) * np.uint64(sampling.HASH_MULT)) & np.uint64(0xFFFFFFFF))
+            assert k not in buckets[base + (h & mask)].tolist(), (v, k)
 
 
 @pytest.mark.parametrize("p,q", [(0.25, 4.0), (1.0, 1.0)])
@@ -65,8 +73,7 @@ def test_packed_alias_bits_roundtrip():
     graph.build_alias_tables()
     graph.build_hash_tables()
     pk = sampling.pack_tables_host(graph.offsets, graph.cols, graph.alias_prob,
-                                   graph.alias_pos, graph.hash_offsets,
-                                   graph.hash_mask, graph.hash_table)
+                                   graph.alias_pos)
     _, alias_packed, _, _ = pk
     np.testing.assert_array_equal(
         np.ascontiguousarray(alias_packed[:, 0]).view(np.float32),
@@ -111,7 +118,7 @@ def test_distributed_packed_matches_unpacked():
         return np.asarray(paths)
 
     packed = corpus(hsg)
-    hsg.row_meta = hsg.hash_meta = hsg.alias_packed = hsg.hash_pad = None
+    hsg.row_meta = hsg.hash_meta = hsg.alias_packed = hsg.hash_buckets = None
     plain = corpus(hsg)
     np.testing.assert_array_equal(packed, plain)
 
