@@ -305,9 +305,20 @@ def speed_of_light(graph, steps_per_s: float) -> dict:
     }
 
 
-def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0) -> dict:
+def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
+                               k_extra=10) -> dict:
     """Skip-gram samples/s (a 'sample' = one (center, target) dot-product+update,
-    i.e. pairs x (1 + negatives)), exact vs block-shared-negative paths."""
+    i.e. pairs x (1 + negatives)), exact vs block-shared-negative paths.
+
+    DEVICE epoch time is separated from the tunneled transport's fixed RTT by
+    differencing: run the same workload for 1 and 1+k_extra epochs (epochs
+    pipeline — the host loop dispatches them back to back and only the final
+    materialization syncs); device_epoch = (t_many - t_one) / k_extra. Round 2
+    reported end-to-end times, where ~0.5 s of transport RTT swamped the
+    ~0.1 s device epoch and understated throughput ~7x. A speed-of-light row
+    accounts the binding resource: embedding-table row transactions (gathers +
+    scatter updates), measured at ~7e7 aligned row accesses/s on this chip —
+    NOT MXU flops, which are <1% occupied at these shapes."""
     import jax
     import jax.numpy as jnp
 
@@ -316,29 +327,33 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0) -> dic
     rng = np.random.default_rng(seed)
     corpus = rng.integers(0, vocab, size=(n_walks, T)).astype(np.int32)
     window, negs = 10, 5
-    # expected valid pairs: dynamic window c~U{1..w}; offset d valid iff |d|<=c and
-    # in bounds; count exactly on host for the denominator
-    counts = np.bincount(corpus[corpus >= 0], minlength=vocab).astype(np.float64)
+    c, x, v = w2v._pairs_for_block(
+        jnp.asarray(corpus), jax.random.PRNGKey(seed), window)
+    pairs = int(jnp.sum(v))
 
     out = {}
     for label, shared in (("exact", 0), ("shared", 128)):
-        cfg = w2v.SGNSConfig(dim=128, window=window, negatives=negs, lr=0.025,
-                             iters=1, seed=seed, shared_negatives=shared)
-        # count pairs via the same enumerator (one jitted call)
-        c, x, v = w2v._pairs_for_block(
-            jnp.asarray(corpus), jax.random.PRNGKey(cfg.seed), window)
-        pairs = int(jnp.sum(v))
-        t0 = time.time()
-        w2v.train_skipgram(corpus, vocab, cfg)
-        warm = time.time() - t0
-        t0 = time.time()
-        w2v.train_skipgram(corpus, vocab, cfg)
-        dt = time.time() - t0
+        times = {}
+        for iters in (1, 1 + k_extra):
+            cfg = w2v.SGNSConfig(dim=128, window=window, negatives=negs,
+                                 lr=0.025, iters=iters, seed=seed,
+                                 shared_negatives=shared)
+            t0 = time.time()
+            w2v.train_skipgram(corpus, vocab, cfg)   # compile + warm
+            warm = time.time() - t0
+            t0 = time.time()
+            w2v.train_skipgram(corpus, vocab, cfg)
+            times[iters] = time.time() - t0
+        dev_epoch = max((times[1 + k_extra] - times[1]) / k_extra, 1e-6)
+        row_txn = (4 * n_walks * T if shared else
+                   4 * pairs + pairs * negs)  # gathers+scatters per epoch
         out[label] = {
-            "samples_per_s": round(pairs * (1 + negs) / dt, 1),
+            "samples_per_s_device": round(pairs * (1 + negs) / dev_epoch, 1),
+            "device_epoch_s": round(dev_epoch, 4),
+            "end_to_end_epoch_s": round(times[1], 3),
             "pairs": pairs,
-            "epoch_s": round(dt, 3),
-            "first_call_s": round(warm, 3),
+            "est_table_row_transactions_per_epoch": row_txn,
+            "row_txn_bound_epoch_s": round(row_txn / 7.0e7, 4),
         }
     return out
 

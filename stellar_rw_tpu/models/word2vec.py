@@ -85,6 +85,39 @@ def _pairs_for_block(block: jax.Array, key: jax.Array, window: int):
     return flat(centers), flat(contexts), flat(valid)
 
 
+def _pairs_pos_for_block(block: jax.Array, key: jax.Array, window: int):
+    """Skip-gram pairs as POSITIONS into the flattened [B*T] block.
+
+    Same enumeration and dynamic-window mask as _pairs_for_block (identical
+    `key` consumption), but returns (pos_center, pos_context, valid) flat
+    indices instead of token ids. This is what lets the shared-negative path
+    gather/scatter embedding rows at BLOCK-POSITION granularity (B*T rows)
+    instead of pair granularity (B*T*2w rows): embedding-table row traffic is
+    the measured binding resource of the trainer, and the dedup cuts it ~2w x.
+    """
+    B, T = block.shape
+    offs = jnp.concatenate(
+        [jnp.arange(-window, 0), jnp.arange(1, window + 1)]).astype(jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    ctx_pos = pos[:, None] + offs[None, :]                      # [T, 2w]
+    in_bounds = (ctx_pos >= 0) & (ctx_pos < T)
+    ctx_pos_c = jnp.clip(ctx_pos, 0, T - 1)
+    row = jnp.arange(B, dtype=jnp.int32)[:, None, None] * T
+    pos_c = jnp.broadcast_to(pos[None, :, None] + row, (B, T, 2 * window))
+    pos_x = jnp.broadcast_to(ctx_pos_c[None, :, :] + row, (B, T, 2 * window))
+    centers = jnp.broadcast_to(block[:, :, None], (B, T, 2 * window))
+    contexts = block[:, ctx_pos_c]
+    cwin = jax.random.randint(key, (B, T), 1, window + 1)       # dynamic window
+    valid = (
+        in_bounds[None, :, :]
+        & (jnp.abs(offs)[None, None, :] <= cwin[:, :, None])
+        & (centers >= 0)
+        & (contexts >= 0)
+    )
+    flat = lambda x: x.reshape(-1)
+    return flat(pos_c), flat(pos_x), flat(valid)
+
+
 def _draw_negatives(key, shape, neg_keep: jax.Array, neg_alias: jax.Array):
     n = neg_keep.shape[0]
     u1 = jax.random.uniform(key, shape)
@@ -218,6 +251,79 @@ def _sgns_apply_shared(w_in, w_out, centers, contexts, valid, negs, lr,
     return w_in, w_out
 
 
+def _sgns_apply_shared_pos(w_in, w_out, block, pos_c, pos_x, valid, negs, lr,
+                           neg_weight: float, axis_name=None, dim_axis=None,
+                           use_pallas: bool = False):
+    """Shared-negative SGNS step with BLOCK-POSITION-granular table traffic.
+
+    Identical update semantics to _sgns_apply_shared (same gradients, same
+    scatter-mean normalization; fp summation order differs), but embedding
+    rows are gathered/scattered once per BLOCK POSITION (B*T rows) rather than
+    once per pair (B*T*2*window rows): pairs index into the block-local
+    [B*T, D] arrays, which are ~2*window-times smaller. Measured on v5e the
+    trainer is bound by embedding-row gather/scatter transactions, so this is
+    the direct lever (round-3; see BASELINE.md SGNS notes).
+    """
+    N = block.size
+    flat = block.reshape(-1)
+    tok = jnp.maximum(flat, 0)
+    vf = valid.astype(jnp.float32)
+    ein = w_in[tok]                    # [N, D] — the only w_in row gathers
+    eout = w_out[tok]                  # [N, D]
+    vi = ein[pos_c]                    # block-local gathers [P, D]
+    vo = eout[pos_x]
+    wn = w_out[negs]                   # [kB, D]
+    pos = jnp.sum(vi * vo, axis=-1)
+    if dim_axis is not None:
+        pos = jax.lax.psum(pos, dim_axis)
+    g_pos = (jax.nn.sigmoid(pos) - 1.0) * vf
+    if use_pallas and dim_axis is None:
+        from ..ops.pallas.sgns import sgns_shared_grads
+        d_vi, d_vo, d_wn = sgns_shared_grads(vi, vo, wn, g_pos, vf * neg_weight)
+    else:
+        neg = jnp.dot(vi, wn.T, preferred_element_type=jnp.float32)
+        if dim_axis is not None:
+            neg = jax.lax.psum(neg, dim_axis)
+        g_neg = jax.nn.sigmoid(neg) * (vf * neg_weight)[:, None]
+        d_vi = g_pos[:, None] * vo + jnp.dot(
+            g_neg, wn, preferred_element_type=jnp.float32)
+        d_vo = g_pos[:, None] * vi
+        d_wn = jnp.dot(g_neg.T, vi, preferred_element_type=jnp.float32)
+
+    # pair -> block-position accumulation (small [N, D] scatters)
+    acc_in_pos = jnp.zeros((N, vi.shape[-1]), jnp.float32).at[pos_c].add(d_vi)
+    acc_out_pos = jnp.zeros((N, vi.shape[-1]), jnp.float32).at[pos_x].add(d_vo)
+    cnt_in_pos = jnp.zeros((N,), jnp.float32).at[pos_c].add(vf)
+    cnt_out_pos = jnp.zeros((N,), jnp.float32).at[pos_x].add(vf)
+    cnt_in = jnp.zeros((w_in.shape[0],), jnp.float32).at[tok].add(
+        cnt_in_pos, mode="drop")
+    cnt_out = jnp.zeros((w_out.shape[0],), jnp.float32).at[tok].add(
+        cnt_out_pos, mode="drop")
+    cnt_n = jnp.maximum(jnp.sum(vf) * neg_weight, 1.0)
+    if axis_name is not None:
+        acc_in = jnp.zeros_like(w_in).at[tok].add(acc_in_pos, mode="drop")
+        acc_out = jnp.zeros_like(w_out).at[tok].add(acc_out_pos, mode="drop")
+        acc_out = acc_out.at[negs].add(
+            d_wn * (jnp.sum(vf) * neg_weight / cnt_n), mode="drop")
+        cnt_out = cnt_out.at[negs].add(cnt_n, mode="drop")
+        acc_in = jax.lax.psum(acc_in, axis_name)
+        cnt_in = jax.lax.psum(cnt_in, axis_name)
+        acc_out = jax.lax.psum(acc_out, axis_name)
+        cnt_out = jax.lax.psum(cnt_out, axis_name)
+        w_in = w_in - lr * acc_in / jnp.maximum(cnt_in, 1.0)[:, None]
+        w_out = w_out - lr * acc_out / jnp.maximum(cnt_out, 1.0)[:, None]
+        return w_in, w_out
+    # token-level scatter-mean: N row scatters per table (duplicate tokens
+    # accumulate, then each row moves by the mean of its gradients)
+    w_in = w_in.at[tok].add(
+        -lr * acc_in_pos / jnp.maximum(cnt_in, 1.0)[tok][:, None], mode="drop")
+    w_out = w_out.at[tok].add(
+        -lr * acc_out_pos / jnp.maximum(cnt_out, 1.0)[tok][:, None],
+        mode="drop")
+    w_out = w_out.at[negs].add(-lr * d_wn / cnt_n, mode="drop")
+    return w_in, w_out
+
+
 @partial(jax.jit,
          static_argnames=("window", "negatives", "axis_name", "dim_axis",
                           "shared_negatives", "use_pallas"),
@@ -234,17 +340,21 @@ def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
         w_in, w_out = carry
         block, i = xs
         kb = jax.random.fold_in(key, i)
-        centers, contexts, valid = _pairs_for_block(block, kb, window)
         frac = i.astype(jnp.float32) / n_blocks
         lr = lr_start * (1 - frac) + lr_end * frac
         if shared_negatives:
+            # position-granular path: table row traffic scales with B*T, not
+            # B*T*2*window (same pair set + negatives as the pair-granular
+            # form — identical key consumption)
+            pos_c, pos_x, valid = _pairs_pos_for_block(block, kb, window)
             negs = _draw_negatives(jax.random.fold_in(kb, 2),
                                    (shared_negatives,), neg_keep, neg_alias)
-            w_in, w_out = _sgns_apply_shared(
-                w_in, w_out, centers, contexts, valid, negs, lr,
+            w_in, w_out = _sgns_apply_shared_pos(
+                w_in, w_out, block, pos_c, pos_x, valid, negs, lr,
                 neg_weight=negatives / shared_negatives, axis_name=axis_name,
                 dim_axis=dim_axis, use_pallas=use_pallas)
         else:
+            centers, contexts, valid = _pairs_for_block(block, kb, window)
             negs = _draw_negatives(jax.random.fold_in(kb, 2),
                                    (centers.shape[0], negatives), neg_keep, neg_alias)
             w_in, w_out = _sgns_apply(w_in, w_out, centers, contexts, valid, negs,

@@ -81,3 +81,46 @@ def test_train_skipgram_pallas_path_runs():
                          shared_negatives=8, use_pallas=True, row_block=8)
     w_in, w_out = w2v.train_skipgram(corpus, 30, cfg)
     assert w_in.shape == (30, 16) and np.isfinite(w_in).all()
+
+
+def test_pallas_walk_kernel_distribution():
+    """VMEM-resident walk kernel (ops/pallas/walk.py): realized transition
+    frequencies from a fixed (prev, cur) state must match the exact node2vec
+    probabilities. Interpreter mode with external uniforms (the in-kernel TPU
+    PRNG has no CPU emulation)."""
+    from stellar_rw_tpu.graph import csr
+    from stellar_rw_tpu.ops.pallas import walk as pw
+    from stellar_rw_tpu.walk import oracle
+
+    adj = {0: [(1, 1.0)], 1: [(0, 1.0), (2, 2.0), (3, 1.0), (4, 0.5)],
+           2: [(1, 1.0), (0, 1.0)], 3: [(1, 1.0)], 4: [(1, 1.0)]}
+    g = csr.from_adjacency(adj)
+    p, q = 0.5, 2.0
+    w = pw.pallas_walks(g, walk_length=1, num_walks=1600, p=p, q=q, seed=3,
+                        tile=1024, interpret=True, external_uniforms=True)
+    rows = w[w[:, 0] == 0]
+    assert np.all(rows[:, 1] == 1)          # deg(0) == 1
+    M = len(rows)
+    freq = np.bincount(rows[:, 2], minlength=5) / M
+    expected = oracle.exact_transition_probs(g, 0, 1, p, q)
+    for v, pr in expected.items():
+        se = np.sqrt(pr * (1 - pr) / M)
+        assert abs(freq[v] - pr) < max(5 * se, 5e-3), (v, freq[v], pr)
+
+
+def test_pallas_walk_kernel_shapes_and_dead_ends():
+    """Dead-end and padding semantics match the XLA engine's dense corpus
+    layout (walkLength+2 columns, -1 after a dead end, -1 rows for padding)."""
+    from stellar_rw_tpu.graph import csr
+    from stellar_rw_tpu.ops.pallas import walk as pw
+
+    # directed chain 0 -> 1 -> 2 (2 is a dead end)
+    adj = {0: [(1, 1.0)], 1: [(2, 1.0)], 2: []}
+    g = csr.from_adjacency(adj)
+    w = pw.pallas_walks(g, walk_length=4, num_walks=2, p=1.0, q=1.0, seed=0,
+                        tile=512, interpret=True, external_uniforms=True)
+    assert w.shape == (6, 6)
+    by_start = {int(r[0]): r for r in w[:3]}
+    np.testing.assert_array_equal(by_start[0], [0, 1, 2, -1, -1, -1])
+    np.testing.assert_array_equal(by_start[1], [1, 2, -1, -1, -1, -1])
+    np.testing.assert_array_equal(by_start[2], [2, -1, -1, -1, -1, -1])

@@ -192,3 +192,39 @@ def test_data_parallel_training(karate_path):
     auc = ev.link_prediction_auc(w_in, np.asarray(edges), g.num_vertices, seed=0)
     acc = ev.node_classification_accuracy(w_in, ev.karate_labels(g.ids), seed=0)
     assert auc > 0.7 and acc >= 0.85, (auc, acc)
+
+
+def test_shared_pos_matches_pair_granular():
+    """The block-position-granular shared-negative step (round-3 table-traffic
+    lever) must compute the same update as the pair-granular form — same
+    pairs, same gradients, same scatter-mean normalization (fp order aside)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    V, D, B, T, win, kB = 500, 32, 8, 21, 5, 64
+    block = rng.integers(0, V, (B, T)).astype(np.int32)
+    block[0, :3] = -1                      # padding present
+    key = jax.random.PRNGKey(7)
+    centers, contexts, valid = w2v._pairs_for_block(jnp.asarray(block), key, win)
+    pos_c, pos_x, valid2 = w2v._pairs_pos_for_block(jnp.asarray(block), key, win)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid2))
+    # positions resolve to the same tokens wherever the pair is valid
+    flat = block.reshape(-1)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(flat[np.asarray(pos_c)][v],
+                                  np.asarray(centers)[v])
+    np.testing.assert_array_equal(flat[np.asarray(pos_x)][v],
+                                  np.asarray(contexts)[v])
+    negs = jnp.asarray(rng.integers(0, V, kB).astype(np.int32))
+    w_in = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    w_out = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    a_in, a_out = w2v._sgns_apply_shared(
+        w_in, w_out, centers, contexts, valid, negs, 0.1, neg_weight=5 / kB)
+    b_in, b_out = w2v._sgns_apply_shared_pos(
+        w_in, w_out, jnp.asarray(block), pos_c, pos_x, valid2, negs, 0.1,
+        neg_weight=5 / kB)
+    np.testing.assert_allclose(np.asarray(a_in), np.asarray(b_in),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(b_out),
+                               rtol=2e-4, atol=2e-6)
