@@ -121,10 +121,18 @@ def _device_phase(name: str, code: str, timeout: float | None = None,
             sys.stderr.write(f"[bench] {name}: timeout, attempt {attempt + 1}\n")
             continue
         if proc.returncode == 0:
-            try:
-                r = json.loads(out.strip().splitlines()[-1])
-            except Exception as e:  # noqa: BLE001
-                PARTIAL[name] = {"ERROR": f"unparseable phase output: {e}"}
+            r = None
+            for line in reversed(out.splitlines()):
+                try:
+                    cand = json.loads(line)
+                except Exception:  # noqa: BLE001 — scan past interleaved noise
+                    continue
+                if isinstance(cand, dict) and cand:
+                    r = cand
+                    break
+            if r is None:
+                PARTIAL[name] = {"ERROR": "no parseable JSON in phase output: "
+                                          f"{out[-200:]!r}"}
                 continue
             PARTIAL[name] = r
             return r
@@ -358,7 +366,16 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
     return out
 
 
+_JSON_MARK = "##BENCHJSON## "
+
+
 def _subprocess_json(code: str, timeout=1800):
+    """Run a CPU-pinned python snippet; parse its result line.
+
+    The snippet's `print(json.dumps(...))` is rewritten to carry an explicit
+    marker and results are scanned from the END of stdout — under load,
+    interleaved warnings have been observed to corrupt naive last-line parsing
+    (an empty cpu_mesh_scaling record in an otherwise good round-3 run)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
     pre = (
         "import os,sys,json\n"
@@ -369,14 +386,23 @@ def _subprocess_json(code: str, timeout=1800):
         "jax.config.update('jax_platforms','cpu')\n"
         "sys.path=[p for p in sys.path if '.axon_site' not in p]\n"
         "os.environ['JAX_PLATFORMS']='cpu'\n"
-        "sys.path.insert(0,%r)\n" % os.path.dirname(os.path.abspath(__file__))
+        "sys.path.insert(0,%r)\n"
+        "def _emit(obj):\n"
+        "    print(%r + json.dumps(obj), flush=True)\n"
+        % (os.path.dirname(os.path.abspath(__file__)), _JSON_MARK)
     )
+    code = code.replace("print(json.dumps(", "_emit((")
     out = subprocess.run([sys.executable, "-c", pre + code], capture_output=True,
                          text=True, env=env, timeout=timeout)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-2000:])
         return None
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    for line in reversed(out.stdout.splitlines()):
+        if line.startswith(_JSON_MARK):
+            return json.loads(line[len(_JSON_MARK):])
+    sys.stderr.write(f"[bench] no result marker in subprocess stdout "
+                     f"(tail: {out.stdout[-200:]!r})\n")
+    return None
 
 
 def cpu_reference_steps_per_s() -> float | None:

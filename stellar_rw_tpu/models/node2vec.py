@@ -125,25 +125,30 @@ def _round_maker(graph: CSRGraph, params: Params,
         from ..graph.partition import partition_graph
         from ..parallel import distributed
 
-        mesh = distributed.make_mesh(S)
+        L = max(1, min(params.lanes, S))
+        if S % L:
+            L = 1       # lanes must divide the device count; fall back
+        SH = S // L     # graph shards (each replicated across its L lanes)
+        mesh = distributed.make_mesh(SH, L)
         route = None
         if params.partitioned and home is not None:
-            route = (home.astype(np.int64) % S).astype(np.int32)
-        hsg = partition_graph(graph, S, route)
+            route = (home.astype(np.int64) % SH).astype(np.int32)
+        hsg = partition_graph(graph, SH, route)
         distributed.log_shard_stats(hsg)
         arrays, route_dev = distributed.device_put_sharded_graph(hsg, mesh)
         W_pad = -(-V // S) * S
         starts_pad = np.full(W_pad, -1, dtype=np.int32)
         starts_pad[:V] = np.arange(V, dtype=np.int32)
         starts_dev = jax.device_put(
-            jnp.asarray(starts_pad), NamedSharding(mesh, P(distributed.AXIS)))
+            jnp.asarray(starts_pad),
+            NamedSharding(mesh, P((distributed.AXIS, distributed.LANE))))
         C = distributed.auto_capacity(graph, hsg.route, S, W_pad // S)
         C = max(1, min(C, W_pad // S))
 
         def make_round(r: int):
             paths, _diag = distributed.distributed_walk_corpus(
                 arrays, route_dev, starts_dev, base, np.int32(r), spec,
-                num_walks=1, S=S, C=C, mesh=mesh)
+                num_walks=1, S=SH, C=C, mesh=mesh, L=L)
             return paths[:V]
     else:
         dg = sampling.device_put_graph(graph)

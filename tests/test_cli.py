@@ -186,3 +186,17 @@ def test_sharded_streaming_matches_single_chip_streaming(tmp_path, karate_path):
     _, wa, _ = n2v.load_model(str(out_a))
     _, wb, _ = n2v.load_model(str(out_b))
     np.testing.assert_allclose(wa, wb, rtol=0, atol=0)
+
+
+def test_cli_lanes_corpus_identical(tmp_path, karate_path):
+    """--lanes through the CLI: same corpus, fewer graph shards (per-executor
+    GraphMap sharing analog) — including the streaming round-maker path."""
+    outs = []
+    for i, extra in enumerate((["--shards", "1"], ["--shards", "8", "--lanes", "2"])):
+        out = str(tmp_path / f"o{i}")
+        cli.run_job(config.parse([
+            "--cmd", "randomwalk", "--input", karate_path, "--output", out,
+            "--walkLength", "7", "--numWalks", "2", "--weighted", "false",
+        ] + extra))
+        outs.append(open(os.path.join(out, "path", "part-00000")).read())
+    assert outs[0] == outs[1]
