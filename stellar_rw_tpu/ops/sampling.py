@@ -297,12 +297,18 @@ HASH_PROBES = 4                      # matches csr.HASH_MAX_PROBES (build-time g
 
 
 def in_row_hash(g: DeviceGraph, rows: jax.Array, queries: jax.Array) -> jax.Array:
-    """Exact membership via the per-vertex open-addressing tables: HASH_PROBES
-    slot reads instead of a log2(max_degree)-deep binary search. rows/queries
-    broadcast together."""
+    """Exact membership test. rows/queries broadcast together.
+
+    Packed graphs use the bucketized tables (a key's ONLY possible home is one
+    aligned 4-slot bucket row -> 1 row gather + compare); unpacked graphs fall
+    back to HASH_PROBES open-addressing slot reads."""
+    h = (queries.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
+    if g.hash_meta is not None and g.hash_buckets is not None:
+        hm = g.hash_meta[rows]
+        win = g.hash_buckets[hm[..., 0] + (h & hm[..., 1])]   # [..., 4]
+        return jnp.any(win == queries[..., None], axis=-1)
     base = g.hash_offsets[rows]
     mask = g.hash_mask[rows]
-    h = (queries.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
     found = None
     for i in range(HASH_PROBES):
         slot = (h + i) & mask

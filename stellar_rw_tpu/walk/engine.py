@@ -108,8 +108,13 @@ def walk_once(g: DeviceGraph, starts: jax.Array, key: jax.Array, spec: WalkSpec)
 
     def body(carry, t):
         cur, prev, alive = carry
-        alive = alive & (deg[cur] > 0)
-        dst = sample_next(g, spec, cur, prev, alive, jax.random.fold_in(key, t))
+        # clamp: cur is -1 for walkers dead since the first step, and a
+        # negative index inside a fused TPU gather can fault the device
+        # (observed on v5e with the chunked-CDF program)
+        curc = jnp.maximum(cur, 0)
+        alive = alive & (deg[curc] > 0)
+        dst = sample_next(g, spec, curc, prev, alive,
+                          jax.random.fold_in(key, t))
         out = jnp.where(alive, dst, -1)
         new_cur = jnp.where(alive, dst, cur)
         new_prev = jnp.where(alive, cur, prev)
@@ -208,6 +213,9 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
 
     def body(carry, t):
         cur, prev, alive = carry
+        # clamp before any gather: cur is -1 for walkers dead since step 1 (see
+        # body_vm / walk_once note — negative fused-gather indices can fault)
+        cur = jnp.maximum(cur, 0)
         alive = alive & (deg[cur] > 0)
         if spec.sampler == "cdf":
             if spec.cdf_chunk:
