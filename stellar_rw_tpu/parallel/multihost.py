@@ -71,15 +71,20 @@ def maybe_initialize_from_env() -> bool:
     return False
 
 
-def global_mesh(num_shards: int | None = None):
-    """(shards x 1) mesh over the GLOBAL device list (all processes) — the
-    trivial-lane form of distributed.make_mesh."""
+def global_mesh(num_shards: int | None = None, lanes: int = 1):
+    """(shards x lanes) mesh over the GLOBAL device list (all processes).
+
+    lanes groups CONSECUTIVE global devices (jax.devices() is process-major),
+    so lanes <= chips-per-host keeps each replicated graph shard inside one
+    host — the per-executor GraphMap sharing of the reference, with the shard
+    served over ICI instead of DCN."""
     import jax
     from jax.sharding import Mesh
 
     devs = jax.devices()
-    n = num_shards or len(devs)
-    return Mesh(np.array(devs[:n]).reshape(n, 1), (AXIS, distributed.LANE))
+    n = (num_shards or len(devs) // max(lanes, 1))
+    return Mesh(np.array(devs[:n * lanes]).reshape(n, lanes),
+                (AXIS, distributed.LANE))
 
 
 def _put_global(x: np.ndarray, mesh, spec):
@@ -133,6 +138,7 @@ def multihost_random_walks(
     route: np.ndarray | None = None,
     capacity: int | None = None,
     rng_impl: str = "threefry",
+    lanes: int = 1,
 ) -> tuple[list[tuple[int, np.ndarray]], np.ndarray]:
     """Sharded corpus across ALL processes' devices; every process receives only
     ITS OWN corpus rows.
@@ -146,17 +152,25 @@ def multihost_random_walks(
     import jax
     from jax.sharding import PartitionSpec as P
 
-    mesh = global_mesh(num_shards)
-    S = mesh.devices.size
+    import jax as _jax
+
+    D_req = num_shards or len(_jax.devices())
+    lanes = max(1, min(lanes, D_req))
+    assert D_req % lanes == 0, \
+        f"device count {D_req} not divisible by lanes={lanes}"
+    mesh = global_mesh(D_req // lanes, lanes)
+    S = mesh.devices.shape[0]      # graph shards
+    L = lanes
+    D = S * L                      # walk devices
     hsg = partition_graph(graph, S, route)
     arrays, route_dev = device_put_sharded_graph(hsg, mesh)
     W = graph.num_vertices
-    W_pad = -(-W // S) * S
+    W_pad = -(-W // D) * D
     starts_pad = np.full(W_pad, -1, dtype=np.int32)
     starts_pad[:W] = np.arange(W, dtype=np.int32)
-    n = num_walks * W_pad // S
+    n = num_walks * W_pad // D
     C = capacity if capacity is not None else distributed.auto_capacity(
-        graph, hsg.route, S, n)
+        graph, hsg.route, D, n)
     C = max(1, min(C, n))
     sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
     spec = WalkSpec(
@@ -170,17 +184,18 @@ def multihost_random_walks(
         cdf_chunk=(sampling.plan_cdf_chunk(n, graph.max_degree)
                    if sampler == "cdf" else 0),
     )
-    starts_dev = _put_global(starts_pad, mesh, P(AXIS))
+    starts_dev = _put_global(starts_pad, mesh,
+                             P((AXIS, distributed.LANE)))
     key = sampling.make_key(seed, rng_impl)
     paths, diag = distributed.distributed_walk_corpus(
         arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C,
-        mesh)
+        mesh, L)
     blocks = []
-    rows_per_shard = num_walks * W_pad // S
+    rows_per_device = num_walks * W_pad // D
     for sh in paths.addressable_shards:
         start_row = sh.index[0].start or 0
         blocks.append((int(start_row), np.asarray(sh.data)))
-        assert sh.data.shape[0] == rows_per_shard
+        assert sh.data.shape[0] == rows_per_device
     # diag is replicated -> addressable everywhere
     diag_np = np.asarray(diag.addressable_data(0))
     return blocks, diag_np

@@ -30,6 +30,7 @@ jax.config.update('jax_num_cpu_devices', 4)
 # uniform streams are float64, and walk parity is bit-exact only at equal dtypes
 jax.config.update('jax_enable_x64', True)
 pid, nproc, port, karate = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+lanes = int(sys.argv[5])
 from stellar_rw_tpu.parallel import multihost
 ok = multihost.initialize(coordinator=f'127.0.0.1:{port}',
                           num_processes=nproc, process_id=pid)
@@ -37,7 +38,8 @@ assert ok and jax.process_count() == nproc
 from stellar_rw_tpu.graph import io
 g = io.load_edge_list(karate, weighted=False, directed=False)
 blocks, diag = multihost.multihost_random_walks(
-    g, walk_length=8, num_walks=2, p=0.5, q=2.0, seed=13, num_shards=8)
+    g, walk_length=8, num_walks=2, p=0.5, q=2.0, seed=13, num_shards=8,
+    lanes=lanes)
 out = [[start, rows.tolist()] for start, rows in blocks]
 print('RESULT ' + json.dumps({'pid': pid, 'blocks': out,
                               'diag_rows': int(diag.shape[0])}), flush=True)
@@ -52,11 +54,15 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_corpus_matches_single_chip(karate_path, tmp_path):
+@pytest.mark.parametrize("lanes", [1, 2])
+def test_two_process_corpus_matches_single_chip(karate_path, tmp_path, lanes):
+    # lanes=2: 4 graph shards x 2 lanes; consecutive-device lane groups keep
+    # each replicated shard inside one process (the per-host sharing domain)
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd())
     procs = [subprocess.Popen(
-        [sys.executable, "-c", WORKER, str(i), "2", str(port), karate_path],
+        [sys.executable, "-c", WORKER, str(i), "2", str(port), karate_path,
+         str(lanes)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for i in range(2)]
     outs = []
