@@ -501,7 +501,11 @@ def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
     from stellar_rw_tpu.walk import engine
 
     data_dir = data_dir or os.environ.get("BLOGCATALOG_DIR", "data/blogcatalog")
-    if os.path.isdir(data_dir):
+    if data_dir.endswith(".mat") and os.path.isfile(data_dir):
+        # node2vec-paper distribution format (PPI / Wikipedia / BlogCatalog)
+        graph, labels = datasets.load_mat_graph(data_dir)
+        name = f"mat dataset ({data_dir})"
+    elif os.path.isdir(data_dir):
         graph, labels = datasets.load_blogcatalog(data_dir)
         name = f"blogcatalog ({data_dir})"
     else:

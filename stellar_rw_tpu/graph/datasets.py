@@ -60,6 +60,32 @@ def load_blogcatalog(path: str) -> tuple[CSRGraph, np.ndarray]:
     return graph, labels
 
 
+def load_mat_graph(path: str, network_key: str = "network",
+                   group_key: str = "group") -> tuple[CSRGraph, np.ndarray]:
+    """Load a node2vec-paper-style .mat dataset -> (graph, labels_multihot).
+
+    PPI, Wikipedia (POS), and the BlogCatalog distribution used by the original
+    node2vec evaluation ship as MATLAB files with a sparse adjacency under
+    'network' and a [V, K] sparse membership matrix under 'group' (BASELINE
+    configs 3-4). Both arcs of every undirected edge are stored; explicit
+    weights are preserved (Wikipedia's co-occurrence network is weighted).
+    """
+    from scipy.io import loadmat
+    from scipy.sparse import coo_matrix
+
+    m = loadmat(path)
+    net = coo_matrix(m[network_key])
+    V = net.shape[0]
+    graph = from_edge_arrays(net.row.astype(np.int64),
+                             net.col.astype(np.int64),
+                             weights=net.data.astype(np.float32),
+                             num_vertices=V)
+    grp = coo_matrix(m[group_key])
+    labels = np.zeros((V, grp.shape[1]), dtype=np.int8)
+    labels[grp.row, grp.col] = 1
+    return graph, labels
+
+
 def synth_labeled_graph(
     num_vertices: int = 100_000,
     num_edges: int = 1_000_000,

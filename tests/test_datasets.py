@@ -2,6 +2,7 @@
 BlogCatalog-format loader and a labeled synthetic, wired to bench --quality)."""
 
 import numpy as np
+import pytest
 
 from stellar_rw_tpu.graph import datasets
 from stellar_rw_tpu.models import eval as ev
@@ -71,3 +72,32 @@ def test_quality_pipeline_small():
     w_in, _ = w2v.train_skipgram(walks, g.num_vertices, cfg)
     f1 = ev.multilabel_micro_f1(w_in, labels, train_frac=0.5, seed=0)
     assert f1 > 0.55, f1   # chance is ~1/6 primary + overlap noise
+
+
+def test_mat_loader_roundtrip(tmp_path):
+    """node2vec-paper .mat layout (sparse 'network' + 'group') loads into the
+    CSR + multihot-label shape the quality harness consumes."""
+    scipy = pytest.importorskip("scipy")
+    from scipy import sparse
+    from scipy.io import savemat
+
+    rng = np.random.default_rng(0)
+    V = 40
+    a = sparse.random(V, V, density=0.1, random_state=1, format="coo")
+    net = (a + a.T).tocoo()                       # symmetric weighted network
+    grp = sparse.coo_matrix(
+        (np.ones(V), (np.arange(V), rng.integers(0, 3, V))), shape=(V, 3))
+    p = tmp_path / "toy.mat"
+    savemat(p, {"network": net, "group": grp})
+    g, labels = datasets.load_mat_graph(str(p))
+    assert g.num_vertices == V and labels.shape == (V, 3)
+    assert g.num_edges == net.nnz
+    # arcs + weights faithful for a spot of vertices
+    dense = net.toarray()
+    for v in range(0, V, 7):
+        cols, w = g.neighbors(v)
+        nz = np.flatnonzero(dense[v])
+        np.testing.assert_array_equal(np.sort(cols), nz)
+        np.testing.assert_allclose(
+            w[np.argsort(cols)], dense[v][nz].astype(np.float32))
+    assert labels.sum() == V
