@@ -620,10 +620,12 @@ def main() -> None:
         retries=2)
     _device_phase("sgns_samples_per_s", _SGNS_PHASE)
     _device_phase("quality_probe", _QUALITY_PHASE)
-    # mid-size HBM-regime point (tables >> VMEM, ~150 MB)
+    # mid-size HBM-regime point (tables >> VMEM, ~150 MB); nw=10 is the
+    # reference's default corpus shape and amortizes per-step fixed costs
+    # (measured: nw=3 -> 10.0e6, nw=10 -> 12.7e6 on this workload)
     _device_phase(
         "walk_300k_hbm",
-        _WALK_PHASE.format(V=300_000, E=4_800_000, seed=2, nw=3, reps=2))
+        _WALK_PHASE.format(V=300_000, E=4_800_000, seed=2, nw=10, reps=2))
     # 1M-vertex HBM regime LAST among device phases: historically the workload
     # most likely to fault the tunneled transport (2026-08-21: UNAVAILABLE device
     # error here then every later dispatch hung) — isolation now contains that
