@@ -369,6 +369,46 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
 _JSON_MARK = "##BENCHJSON## "
 
 
+def measure_spmm(V=10_000, E=334_000, D=128, reps=20, seed=0) -> dict:
+    """Neighborhood-aggregate (SpMM) + SDDMM throughput — the GNN-feed
+    primitives (ops/spmm.py; BASELINE north star). Reported as edges/s and
+    effective HBM GB/s (the ops are bandwidth-bound row gathers + segment
+    sums; the SoL comparison is against the chip's streaming bandwidth)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stellar_rw_tpu.ops import spmm as sp
+
+    graph = synth_power_law_graph(V, E, seed=seed)
+    es = sp.EdgeStructure.from_csr(graph)
+    Ea = graph.num_edges
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+
+    out = {}
+    bw, kind = _hbm_bw()
+    for name, fn, bytes_moved in (
+        ("spmm", jax.jit(lambda x: jnp.sum(sp.spmm(es, x))),
+         Ea * (4 * D + 4 + 8) + V * D * 4),
+        ("sddmm", jax.jit(lambda x: jnp.sum(sp.sddmm(es, x, x))),
+         2 * Ea * 4 * D + Ea * 12),
+    ):
+        jax.block_until_ready(fn(x))
+        t0 = time.time()
+        acc = None
+        for _ in range(reps):
+            acc = fn(x)
+        jax.block_until_ready(acc)
+        dt = time.time() - t0
+        out[name] = {
+            "edges_per_s": round(Ea * reps / dt, 0),
+            "effective_gb_per_s": round(bytes_moved * reps / dt / 1e9, 1),
+            "hbm_frac": round(bytes_moved * reps / dt / bw, 3),
+        }
+    out["workload"] = f"{V} V / {Ea} arcs power-law, D={D} features ({kind})"
+    return out
+
+
 def _subprocess_json(code: str, timeout=1800):
     """Run a CPU-pinned python snippet; parse its result line.
 
@@ -619,6 +659,8 @@ def main() -> None:
         _WALK_PHASE.format(V=10_000, E=334_000, seed=0, nw=10, reps=4),
         retries=2)
     _device_phase("sgns_samples_per_s", _SGNS_PHASE)
+    _device_phase("spmm_gnn_feed",
+                  "import bench\nprint(json.dumps(bench.measure_spmm()))\n")
     _device_phase("quality_probe", _QUALITY_PHASE)
     # mid-size HBM-regime point (tables >> VMEM, ~150 MB); nw=10 is the
     # reference's default corpus shape and amortizes per-step fixed costs

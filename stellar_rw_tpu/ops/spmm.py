@@ -42,14 +42,18 @@ def spmm(es: EdgeStructure, x: jax.Array, weighted: bool = True) -> jax.Array:
     msgs = x[es.col]
     if weighted:
         msgs = msgs * es.weight[:, None]
-    return jax.ops.segment_sum(msgs, es.row, num_segments=es.num_vertices)
+    # CSR edge order makes es.row sorted — declaring it lets XLA lower the
+    # scatter as a segmented reduction instead of a generic scatter-add
+    return jax.ops.segment_sum(msgs, es.row, num_segments=es.num_vertices,
+                               indices_are_sorted=True)
 
 
 def spmm_mean(es: EdgeStructure, x: jax.Array) -> jax.Array:
     """Degree-normalized aggregate (mean over neighbors; zero rows for isolates)."""
     s = spmm(es, x, weighted=False)
     deg = jax.ops.segment_sum(jnp.ones_like(es.weight), es.row,
-                              num_segments=es.num_vertices)
+                              num_segments=es.num_vertices,
+                              indices_are_sorted=True)
     return s / jnp.maximum(deg, 1.0)[:, None]
 
 
@@ -62,9 +66,11 @@ def sddmm(es: EdgeStructure, x: jax.Array, y: jax.Array) -> jax.Array:
 def sddmm_softmax(es: EdgeStructure, scores: jax.Array) -> jax.Array:
     """Row-wise (per source vertex) softmax over edge scores — the attention
     normalization pattern (GAT-style) built from segment ops."""
-    smax = jax.ops.segment_max(scores, es.row, num_segments=es.num_vertices)
+    smax = jax.ops.segment_max(scores, es.row, num_segments=es.num_vertices,
+                               indices_are_sorted=True)
     ex = jnp.exp(scores - smax[es.row])
-    ssum = jax.ops.segment_sum(ex, es.row, num_segments=es.num_vertices)
+    ssum = jax.ops.segment_sum(ex, es.row, num_segments=es.num_vertices,
+                               indices_are_sorted=True)
     return ex / jnp.maximum(ssum[es.row], 1e-30)
 
 
@@ -77,4 +83,5 @@ def gather_rows(es: EdgeStructure, x: jax.Array, which: str = "col") -> jax.Arra
 def scatter_add_rows(es: EdgeStructure, msgs: jax.Array, which: str = "row") -> jax.Array:
     """Generic sparse scatter: accumulate per-arc messages onto vertices ([V, D])."""
     idx = es.row if which == "row" else es.col
-    return jax.ops.segment_sum(msgs, idx, num_segments=es.num_vertices)
+    return jax.ops.segment_sum(msgs, idx, num_segments=es.num_vertices,
+                               indices_are_sorted=(which == "row"))
