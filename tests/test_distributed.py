@@ -240,3 +240,13 @@ def test_lanes_share_graph_shards(karate_path):
     # boundary accounting still exact: requests for vertices on my own shard
     # are local regardless of lane
     assert stats["boundary_walkers"] > 0
+
+
+def test_lanes_dead_ends_and_directed(testgraph_path):
+    """Dead-end semantics through the lanes path (directed chain fixture):
+    identical to the single-chip engine."""
+    g = io.load_edge_list(testgraph_path, weighted=False, directed=True)
+    single = engine.random_walks(g, walk_length=5, num_walks=2, seed=1)
+    multi = distributed.distributed_random_walks(
+        g, walk_length=5, num_walks=2, seed=1, num_shards=2, lanes=2)
+    np.testing.assert_array_equal(single, multi)

@@ -137,3 +137,34 @@ def test_tail_compaction_matches_dense_schedule(monkeypatch):
     dense = engine.random_walks(graph, **kw)
     engine.walk_corpus.clear_cache()
     np.testing.assert_array_equal(compacted, dense)
+
+
+def test_bucket_tables_fuzz():
+    """Property fuzz: across random graph shapes (dense, sparse, skewed, with
+    multi-edges and isolated vertices), every unique neighbor is found in its
+    designated bucket and nothing else matches — including rows that forced
+    the overflow-doubling rebuild."""
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        V = int(rng.integers(2, 200))
+        E = int(rng.integers(0, 8 * V))
+        src = rng.integers(0, V, E)
+        dst = rng.integers(0, V, E)
+        g = from_edge_arrays(src, dst, num_vertices=V,
+                             symmetrize=bool(rng.random() < 0.5))
+        bt = sampling.bucket_tables_host(g.offsets, g.cols)
+        assert bt is not None
+        hash_meta, buckets = bt
+        probe = rng.integers(0, V, 30)
+        for v in rng.integers(0, V, 20):
+            base, mask = int(hash_meta[v, 0]), int(hash_meta[v, 1])
+            nbrs = set(int(c) for c in g.neighbors(int(v))[0])
+            stored = set(int(x)
+                         for x in buckets[base: base + mask + 1].ravel()
+                         if x >= 0)
+            assert stored == nbrs, (trial, v)
+            for k in np.concatenate([list(nbrs)[:10], probe]).astype(np.int64):
+                h = int((np.uint64(k) * np.uint64(sampling.HASH_MULT))
+                        & np.uint64(0xFFFFFFFF))
+                hit = int(k) in buckets[base + (h & mask)].tolist()
+                assert hit == (int(k) in nbrs), (trial, v, int(k))
