@@ -1,8 +1,9 @@
 """Headline benchmark: node2vec walk throughput on one TPU chip — provably real.
 
-Prints ONE JSON line:
+Prints a full detail record ("DETAIL {...}" with every phase result), then ONE
+compact FINAL JSON line — the official machine-parsed record:
   {"metric": "walk_steps_per_s_per_chip", "value": N, "unit": "steps/s",
-   "vs_baseline": R, ...extras}
+   "vs_baseline": R}
 
 Credibility measures (round-1 verdict item 1):
   * every round's corpus is folded into an i64 checksum INSIDE the walk dispatch;
@@ -58,6 +59,21 @@ PHASE_TIMEOUT_S = float(os.environ.get("BENCH_PHASE_TIMEOUT_S", 600))
 _DEADLINE = time.time() + BENCH_TIMEOUT_S
 
 
+def _emit_record(result: dict) -> None:
+    """Print the full record, then ONE compact final line.
+
+    The driver captures the process tail and parses the LAST JSON line as the
+    official record; rounds 2-3 both scored `parsed: null` because the single
+    output line (full result + all of PARTIAL in extras) was so large the
+    headline fields sat in the truncated-away front (round-3 verdict item 1).
+    The detail record keeps every phase legible; the final line carries only
+    the four headline fields and always parses."""
+    print("DETAIL " + json.dumps(result), flush=True)
+    compact = {k: result.get(k) for k in ("metric", "value", "unit",
+                                          "vs_baseline")}
+    print(json.dumps(compact), flush=True)
+
+
 def _watchdog():
     time.sleep(BENCH_TIMEOUT_S + 120)
     result = {
@@ -69,7 +85,7 @@ def _watchdog():
                               "partial results only",
                    **PARTIAL},
     }
-    print(json.dumps(result), flush=True)
+    _emit_record(result)
     os._exit(0)
 
 
@@ -714,7 +730,7 @@ def main() -> None:
             **PARTIAL,
         },
     }
-    print(json.dumps(result))
+    _emit_record(result)
     sys.exit(0)
 
 
