@@ -42,6 +42,10 @@ def load_blogcatalog(path: str) -> tuple[CSRGraph, np.ndarray]:
                     continue
                 a, b = line.replace(",", " ").split()[:2]
                 out.append((int(a), int(b)))
+        if not out:
+            # keep the (N, 2) shape so downstream [:, k] indexing gives a
+            # clear empty result instead of an IndexError (round-3 advisor)
+            return np.zeros((0, 2), dtype=np.int64)
         return np.asarray(out, dtype=np.int64)
 
     edges = read_pairs("edges.csv")

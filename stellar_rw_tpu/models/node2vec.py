@@ -37,6 +37,23 @@ def num_walk_shards(params: Params) -> int:
     return 1
 
 
+def resolve_lanes(S: int, lanes: int) -> int:
+    """Clamp --lanes to a divisor of the device count S.
+
+    lanes must divide S (each graph shard is replicated across exactly `lanes`
+    devices); a non-divisor falls back to the largest divisor <= lanes with a
+    warning, so `--shards 6 --lanes 4` degrades gracefully (lanes=3) instead
+    of crashing — and identically in every pipeline (run_walks, streaming,
+    checkpointed; round-3 advisor finding)."""
+    L = max(1, min(lanes, S))
+    while S % L:
+        L -= 1
+    if L != lanes and lanes > 1:
+        logger.warning("lanes=%d does not divide device count %d; using "
+                       "lanes=%d", lanes, S, L)
+    return L
+
+
 def run_walks(graph: CSRGraph, params: Params,
               home: np.ndarray | None = None) -> np.ndarray:
     """Dispatch the walk engine — the analog of the reference choosing
@@ -71,7 +88,7 @@ def run_walks(graph: CSRGraph, params: Params,
         return engine.random_walks(graph, as_numpy=False, **kw)
     from ..parallel import distributed
 
-    lanes = max(1, min(params.lanes, S))
+    lanes = resolve_lanes(S, params.lanes)
     route = None
     if params.partitioned and home is not None:
         # route targets GRAPH shards: S devices / lanes-per-shard
@@ -106,7 +123,6 @@ def _round_maker(graph: CSRGraph, params: Params,
         params.sampler, params.p, params.q)
     V = graph.num_vertices
     S = num_walk_shards(params)
-    n_per_shard = (-(-V // S) * S) // S if S > 1 else V
     spec = engine.WalkSpec(
         walk_length=params.walk_length, p=float(params.p), q=float(params.q),
         sampler=sampler, max_degree=max(graph.max_degree, 1),
@@ -114,8 +130,9 @@ def _round_maker(graph: CSRGraph, params: Params,
         max_rounds=max_rounds,
         n_stream=V,
         rng_impl=params.rng_impl,
-        cdf_chunk=(sampling.plan_cdf_chunk(n_per_shard, graph.max_degree)
-                   if sampler == "cdf" else 0),
+        cdf_chunk=(sampling.plan_cdf_chunk_corpus(
+            params.num_walks, V, graph.max_degree)
+            if sampler == "cdf" else 0),
     )
     base = sampling.make_key(params.seed, params.rng_impl)
 
@@ -125,9 +142,7 @@ def _round_maker(graph: CSRGraph, params: Params,
         from ..graph.partition import partition_graph
         from ..parallel import distributed
 
-        L = max(1, min(params.lanes, S))
-        if S % L:
-            L = 1       # lanes must divide the device count; fall back
+        L = resolve_lanes(S, params.lanes)
         SH = S // L     # graph shards (each replicated across its L lanes)
         mesh = distributed.make_mesh(SH, L)
         route = None
@@ -182,16 +197,28 @@ def checkpointed_random_walks(graph: CSRGraph, params: Params,
     R = params.num_walks
     T = params.walk_length + 2
     path = os.path.join(params.output, MODEL_SUFFIX, WALK_CKPT)
+    # walk-config fingerprint: resuming after a change to anything that alters
+    # the realized rounds (seed, p/q, sampler, rng stream, shard layout) must
+    # regenerate from scratch, not splice two configurations into one corpus
+    # (round-3 advisor finding). Stored alongside the shape marker.
+    fp = json.dumps([params.seed, params.p, params.q, params.sampler,
+                     params.rng_impl, params.shards, params.lanes,
+                     params.partitioned, params.walk_length])
     rounds: list[np.ndarray] = []
     start = 0
     if params.resume and os.path.exists(path):
         z = np.load(path)
         prior, done = z["walks"], int(z["completed"])
-        if prior.shape == (done * V, T) and done <= R:
+        old_fp = str(z["fingerprint"]) if "fingerprint" in z else None
+        if prior.shape == (done * V, T) and done <= R and old_fp == fp:
             start = done
             rounds = [prior[r * V:(r + 1) * V] for r in range(done)]
             logger.info("walk checkpoint: resuming after %d completed rounds",
                         done)
+        elif old_fp is not None and old_fp != fp:
+            logger.warning("walk checkpoint fingerprint %s does not match "
+                           "current params %s — regenerating from scratch",
+                           old_fp, fp)
         else:
             logger.warning("walk checkpoint shape %s does not match params "
                            "(expected (%d*V, %d)) — regenerating from scratch",
@@ -204,7 +231,8 @@ def checkpointed_random_walks(graph: CSRGraph, params: Params,
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp.npz"
             with open(tmp, "wb") as f:
-                np.savez(f, walks=np.concatenate(rounds), completed=done)
+                np.savez(f, walks=np.concatenate(rounds), completed=done,
+                         fingerprint=fp)
             os.replace(tmp, path)  # atomic: a kill never corrupts the marker
     return np.concatenate(rounds) if rounds else np.zeros((0, T), np.int32), \
         start

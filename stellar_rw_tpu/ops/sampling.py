@@ -251,10 +251,30 @@ def plan_cdf_chunk(batch_walkers: int, max_degree: int) -> int:
     it fits); else the chunk width for the streaming path. Padding cost scales
     as batch x max_degree, which on power-law graphs at LiveJournal scale is an
     OOM (round-2 verdict item 5) — the streaming path holds memory at
-    batch x CDF_CHUNK regardless of degree."""
+    batch x CDF_CHUNK regardless of degree.
+
+    Engines must NOT call this with engine-local batch sizes: the chunked and
+    padded paths are distribution-identical but not bitwise, so the decision
+    must come from plan_cdf_chunk_corpus (layout-invariant) or the cross-layout
+    bitwise guarantees silently break (round-3 advisor finding)."""
     if batch_walkers * max(max_degree, 1) <= CDF_PAD_LIMIT:
         return 0
     return CDF_CHUNK
+
+
+def plan_cdf_chunk_corpus(num_walks: int, n_starts: int,
+                          max_degree: int) -> int:
+    """LAYOUT-INVARIANT chunked-vs-padded exact-CDF decision.
+
+    Every engine (single-chip batched, sharded, multi-host, per-round
+    streaming/checkpointed) derives the decision from the same corpus-level
+    quantity — the FULL corpus walker count num_walks * n_starts — so all
+    layouts pick the same CDF path and stay bitwise identical (the two paths
+    are only distribution-identical). Conservative by construction: if the
+    full-corpus padded materialization fits the limit, any sub-batch of it
+    does too; if not, everyone streams (chunked memory is batch x CDF_CHUNK,
+    always smaller)."""
+    return plan_cdf_chunk(num_walks * n_starts, max_degree)
 
 
 def in_row(g: DeviceGraph, rows: jax.Array, queries: jax.Array, n_iters: int) -> jax.Array:
@@ -582,8 +602,12 @@ def round_uniforms(step_key: jax.Array, n: int, n_stream: int | None = None):
     Wd = draw_width(n_stream if n_stream is not None else n)
 
     def draw(j):
+        # dtype pinned f32: rejection streams are platform-invariant (an
+        # x64-enabled host would otherwise draw f64 and diverge from TPU) and
+        # exactly reproducible per-element by ops/prng.uniform3_at
         u = _pad_lanes(
-            jax.random.uniform(jax.random.fold_in(step_key, j), (3, Wd)), n)
+            jax.random.uniform(jax.random.fold_in(step_key, j), (3, Wd),
+                               dtype=jnp.float32), n)
         return u[0], u[1], u[2]
     return draw
 
@@ -601,7 +625,8 @@ def round_uniforms_batched(step_keys: jax.Array, n: int,
 
     def draw(j):
         u = jax.vmap(
-            lambda k: jax.random.uniform(jax.random.fold_in(k, j), (3, Wd))
+            lambda k: jax.random.uniform(jax.random.fold_in(k, j), (3, Wd),
+                                         dtype=jnp.float32)
         )(step_keys)                              # [R, 3, Wd]
         u = _pad_lanes(u, n).transpose(1, 0, 2)   # [3, R, n] (slice/pad, no gather)
         return tuple(u[i].reshape(-1) for i in range(3))
@@ -634,7 +659,8 @@ def tail_uniforms_batched(step_keys: jax.Array, n: int):
         r = idx // n
         w = idx % n
         u = jax.vmap(
-            lambda k, wi: jax.random.uniform(jax.random.fold_in(k, wi), (3,))
+            lambda k, wi: jax.random.uniform(jax.random.fold_in(k, wi), (3,),
+                                             dtype=jnp.float32)
         )(kj[r], w)
         return u[:, 0], u[:, 1], u[:, 2]
     return draw

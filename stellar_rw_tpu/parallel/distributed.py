@@ -388,7 +388,15 @@ def log_shard_stats(hsg: ShardedGraphHost) -> None:
 def log_superstep_diag(diag: np.ndarray) -> None:
     """Per-superstep boundary/dead-end/overflow counters — the reference prints
     unfinished-walker counts and its Wrong Transports / Zero Neighbors accumulators
-    every superstep (RandomWalk.scala:150-160)."""
+    every superstep (RandomWalk.scala:150-160).
+
+    diag[:, 2] counts EXECUTED exchange rounds: since the round-3 overlap peel,
+    the first round runs unconditionally whenever D > 1 (its request all_to_all
+    must be issued before the crossing count is known — that independence IS the
+    overlap window), so the column is >= 1 per superstep even with zero boundary
+    walkers. Rounds that actually carried traffic are diag[:, 0] > 0 (first
+    round) plus max(diag[:, 2] - 1, 0) overflow rounds; stats reports them as
+    `exchange_rounds_with_traffic` next to the raw total."""
     for t, (crossings, dead, rounds) in enumerate(np.asarray(diag)):
         logger.info(
             "superstep %d: boundary walkers=%d, zero neighbors=%d, "
@@ -457,8 +465,9 @@ def distributed_random_walks(
         dtype=dtype,
         n_stream=W,
         rng_impl=rng_impl,
-        cdf_chunk=(sampling.plan_cdf_chunk(n, graph.max_degree)
-                   if sampler == "cdf" else 0),
+        cdf_chunk=(sampling.plan_cdf_chunk_corpus(
+            num_walks, W, graph.max_degree)
+            if sampler == "cdf" else 0),
     )
     starts_dev = jax.device_put(
         jnp.asarray(starts_pad),
@@ -481,6 +490,12 @@ def distributed_random_walks(
             "boundary_walkers": int(diag[:, 0].sum()),
             "zero_neighbors": int(diag[:, 1].sum()),
             "overflow_steps": int((diag[:, 2] > 1).sum()),
+            # raw executed rounds (>= 1/superstep when D > 1: the peeled
+            # overlap round always runs) vs rounds that carried traffic —
+            # see log_superstep_diag; keeps round-over-round records comparable
+            "exchange_rounds_total": int(diag[:, 2].sum()),
+            "exchange_rounds_with_traffic": int(
+                (diag[:, 0] > 0).sum() + np.maximum(diag[:, 2] - 1, 0).sum()),
             "diag": diag,
         }
         return walks, stats

@@ -181,8 +181,9 @@ def multihost_random_walks(
         dtype=dtype,
         n_stream=W,
         rng_impl=rng_impl,
-        cdf_chunk=(sampling.plan_cdf_chunk(n, graph.max_degree)
-                   if sampler == "cdf" else 0),
+        cdf_chunk=(sampling.plan_cdf_chunk_corpus(
+            num_walks, W, graph.max_degree)
+            if sampler == "cdf" else 0),
     )
     starts_dev = _put_global(starts_pad, mesh,
                              P((AXIS, distributed.LANE)))

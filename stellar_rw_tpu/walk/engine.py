@@ -308,7 +308,6 @@ def random_walks(
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
     sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
-    batch = min(num_walks * len(starts), max_batch_walkers)
     spec = WalkSpec(
         walk_length=walk_length, p=float(p), q=float(q), sampler=sampler,
         max_degree=max(graph.max_degree, 1),
@@ -317,8 +316,9 @@ def random_walks(
         dtype=dtype,
         n_stream=len(starts),
         rng_impl=rng_impl,
-        cdf_chunk=(sampling.plan_cdf_chunk(batch, graph.max_degree)
-                   if sampler == "cdf" else 0),
+        cdf_chunk=(sampling.plan_cdf_chunk_corpus(
+            num_walks, len(starts), graph.max_degree)
+            if sampler == "cdf" else 0),
     )
     starts_dev = jnp.asarray(starts, dtype=jnp.int32)
     base = sampling.make_key(seed, rng_impl)

@@ -101,3 +101,15 @@ def test_mat_loader_roundtrip(tmp_path):
         np.testing.assert_allclose(
             w[np.argsort(cols)], dense[v][nz].astype(np.float32))
     assert labels.sum() == V
+
+
+def test_blogcatalog_empty_membership_file(tmp_path):
+    """Empty/absent memberships must load as zero labels, not IndexError
+    (round-3 advisor, low: read_pairs used to return a shape-(0,) array)."""
+    (tmp_path / "edges.csv").write_text("1,2\n2,3\n")
+    (tmp_path / "group-edges.csv").write_text("\n")
+    (tmp_path / "nodes.csv").write_text("1\n2\n3\n")
+    g, labels = datasets.load_blogcatalog(str(tmp_path))
+    assert g.num_vertices == 3
+    assert labels.shape == (3, 0)
+    assert labels.sum() == 0

@@ -250,3 +250,41 @@ def test_lanes_dead_ends_and_directed(testgraph_path):
     multi = distributed.distributed_random_walks(
         g, walk_length=5, num_walks=2, seed=1, num_shards=2, lanes=2)
     np.testing.assert_array_equal(single, multi)
+
+
+def test_cdf_path_choice_is_layout_invariant(karate_path, monkeypatch):
+    """The chunked-vs-padded exact-CDF decision must derive from the same
+    corpus-level quantity in every engine (round-3 advisor, medium): the two
+    paths are only distribution-identical, so a layout-local decision silently
+    breaks the cross-layout bitwise guarantee when batch*max_degree straddles
+    CDF_PAD_LIMIT."""
+    from stellar_rw_tpu.ops import sampling
+
+    calls = []
+    orig = sampling.plan_cdf_chunk_corpus
+
+    def spy(num_walks, n_starts, max_degree):
+        calls.append((num_walks, n_starts, max_degree))
+        return orig(num_walks, n_starts, max_degree)
+
+    monkeypatch.setattr(sampling, "plan_cdf_chunk_corpus", spy)
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    kw = dict(walk_length=5, num_walks=3, p=0.5, q=2.0, seed=3,
+              sampler="cdf", dtype="float64")
+    single = engine.random_walks(g, **kw)
+    multi = distributed.distributed_random_walks(g, num_shards=8, **kw)
+    np.testing.assert_array_equal(single, multi)
+    assert len(calls) == 2 and calls[0] == calls[1], calls
+
+
+def test_resolve_lanes_divisor_fallback():
+    """--lanes must divide the device count; non-divisors degrade to the
+    largest divisor instead of crashing (round-3 advisor, low)."""
+    from stellar_rw_tpu.models.node2vec import resolve_lanes
+
+    assert resolve_lanes(6, 4) == 3
+    assert resolve_lanes(8, 3) == 2
+    assert resolve_lanes(8, 4) == 4
+    assert resolve_lanes(8, 99) == 8   # clamped to S first
+    assert resolve_lanes(7, 2) == 1
+    assert resolve_lanes(1, 1) == 1

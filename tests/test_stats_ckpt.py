@@ -143,3 +143,30 @@ def test_walk_round_checkpoint_resume_bitwise(tmp_path, karate_path):
     # CLI wiring: randomwalk --checkpointEvery goes through the same loop
     cli.run_job(config.parse(base + ["--numWalks", "3", "--resume", "true"]))
     assert int(np.load(ckpt)["completed"]) == 3
+
+
+def test_walk_checkpoint_fingerprint_mismatch(tmp_path, karate_path):
+    """Resuming a walk checkpoint after changing any corpus-shaping parameter
+    (seed, p/q, sampler, rng_impl, layout) must regenerate from scratch — not
+    splice rounds from two configurations (round-3 advisor, low)."""
+    from stellar_rw_tpu.models import node2vec as n2v
+
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    base = ["--cmd", "randomwalk", "--input", karate_path,
+            "--output", str(tmp_path), "--walkLength", "6",
+            "--weighted", "false", "--checkpointEvery", "1",
+            "--numWalks", "3"]
+    p0 = config.parse(base + ["--seed", "0"])
+    n2v.checkpointed_random_walks(g, p0)
+
+    # same shapes, different seed: the stale checkpoint must NOT be consumed
+    p1 = config.parse(base + ["--seed", "1", "--resume", "true"])
+    w1, resumed = n2v.checkpointed_random_walks(g, p1)
+    assert resumed == 0
+    fresh1 = engine.random_walks(g, walk_length=6, num_walks=3, seed=1)
+    np.testing.assert_array_equal(w1, fresh1)
+
+    # unchanged params DO resume
+    w1b, resumed = n2v.checkpointed_random_walks(g, p1)
+    assert resumed == 3
+    np.testing.assert_array_equal(w1b, fresh1)
