@@ -473,34 +473,53 @@ def cpu_reference_steps_per_s() -> float | None:
 
 
 def cpu_mesh_scaling() -> dict | None:
-    """edges/s (walk transitions/s) at 1/2/8 shards on the virtual CPU mesh.
-    2 physical cores underneath: this validates the sharded path's overhead and
-    correctness at N devices, it is NOT a hardware scaling claim (that requires
-    a real pod slice; see BASELINE.md)."""
+    """Sharded-engine overhead on the virtual CPU mesh (2 physical cores).
+
+    Two sections (round-3 verdict weak item 3 / next-step 9 — separate the
+    engine's O(S) overhead from 8-virtual-devices-on-2-cores timesharing):
+      strong: fixed TOTAL walkers at 1/2/8 shards (the legacy record —
+        efficiency conflates overhead with core contention);
+      weak: fixed PER-DEVICE walkers; steps/s normalized per ENGAGED core
+        (min(S, 2)) — with O(local) per-device work this stays ~flat from
+        S=2 to S=8, and any drop is genuine O(S) overhead (redundant PRNG
+        was exactly such a term in round 3).
+    NOT a hardware scaling claim (that needs a pod slice; BASELINE.md)."""
     code = (
         "import jax\n"
         "jax.config.update('jax_num_cpu_devices', 8)\n"
         "import time, numpy as np, bench, json\n"
         "from stellar_rw_tpu.parallel import distributed\n"
         "g = bench.synth_power_law_graph(2000, 20000, seed=5)\n"
-        "res = {}\n"
-        "for S in (1, 2, 8):\n"
-        "    t0 = time.time()\n"
-        "    w = distributed.distributed_random_walks(\n"
-        "        g, walk_length=20, num_walks=2, p=0.25, q=0.25, seed=0,\n"
-        "        num_shards=S)\n"
+        "def run(S, starts=None):\n"
+        "    kw = dict(walk_length=20, num_walks=2, p=0.25, q=0.25, seed=0,\n"
+        "              num_shards=S, starts=starts)\n"
+        "    t0 = time.time(); distributed.distributed_random_walks(g, **kw)\n"
         "    warm = time.time() - t0\n"
-        "    t0 = time.time()\n"
-        "    w = distributed.distributed_random_walks(\n"
-        "        g, walk_length=20, num_walks=2, p=0.25, q=0.25, seed=0,\n"
-        "        num_shards=S)\n"
+        "    t0 = time.time(); w = distributed.distributed_random_walks(g, **kw)\n"
         "    dt = time.time() - t0\n"
         "    steps = int((w >= 0).sum() - len(w))\n"
-        "    res[str(S)] = {'edges_per_s': round(steps / dt, 1),\n"
-        "                   'run_s': round(dt, 3), 'first_call_s': round(warm, 3)}\n"
-        "base = res['1']['edges_per_s']\n"
+        "    return steps, dt, warm\n"
+        "res = {'strong': {}, 'weak': {}}\n"
+        "for S in (1, 2, 8):\n"
+        "    steps, dt, warm = run(S)\n"
+        "    res['strong'][str(S)] = {'edges_per_s': round(steps / dt, 1),\n"
+        "        'run_s': round(dt, 3), 'first_call_s': round(warm, 3)}\n"
+        "base = res['strong']['1']['edges_per_s']\n"
         "for S in ('2', '8'):\n"
-        "    res[S]['efficiency_vs_1'] = round(res[S]['edges_per_s'] / base, 3)\n"
+        "    res['strong'][S]['efficiency_vs_1'] = round(\n"
+        "        res['strong'][S]['edges_per_s'] / base, 3)\n"
+        "per_dev = 2000\n"
+        "for S in (1, 2, 8):\n"
+        "    starts = (np.arange(per_dev * S) % g.num_vertices).astype(np.int32)\n"
+        "    steps, dt, warm = run(S, starts)\n"
+        "    cores = min(S, 2)\n"
+        "    res['weak'][str(S)] = {'edges_per_s': round(steps / dt, 1),\n"
+        "        'edges_per_s_per_core': round(steps / dt / cores, 1),\n"
+        "        'run_s': round(dt, 3)}\n"
+        "basew = res['weak']['1']['edges_per_s_per_core']\n"
+        "for S in ('2', '8'):\n"
+        "    res['weak'][S]['per_core_efficiency_vs_1'] = round(\n"
+        "        res['weak'][S]['edges_per_s_per_core'] / basew, 3)\n"
         "print(json.dumps(res))\n")
     return _subprocess_json(code)
 

