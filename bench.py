@@ -356,12 +356,17 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
     pairs = int(jnp.sum(v))
 
     out = {}
-    for label, shared in (("exact", 0), ("shared", 128)):
+    # "shared" = the round-4 default (dense shifted-window conv formulation);
+    # "shared_pos_r3" = the round-3 position-granular scatter path, kept as a
+    # measured ablation of the conv win (round-3 verdict item 3)
+    for label, shared, impl in (("exact", 0, "conv"),
+                                ("shared", 128, "conv"),
+                                ("shared_pos_r3", 128, "pos")):
         times = {}
         for iters in (1, 1 + k_extra):
             cfg = w2v.SGNSConfig(dim=128, window=window, negatives=negs,
                                  lr=0.025, iters=iters, seed=seed,
-                                 shared_negatives=shared)
+                                 shared_negatives=shared, shared_impl=impl)
             t0 = time.time()
             w2v.train_skipgram(corpus, vocab, cfg)   # compile + warm
             warm = time.time() - t0

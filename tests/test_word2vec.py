@@ -228,3 +228,72 @@ def test_shared_pos_matches_pair_granular():
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(a_out), np.asarray(b_out),
                                rtol=2e-4, atol=2e-6)
+
+
+def test_shared_conv_matches_pos_granular():
+    """The dense shifted-window shared-negative step (round-4: no pair
+    gathers/scatters at all) must compute the same update as the
+    position-granular form — same pair set, same gradients, same
+    normalization (fp order aside)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    V, D, B, T, win, kB = 400, 32, 6, 23, 5, 64
+    block = rng.integers(0, V, (B, T)).astype(np.int32)
+    block[1, 17:] = -1                     # padding present
+    key = jax.random.PRNGKey(9)
+    pos_c, pos_x, validf = w2v._pairs_pos_for_block(jnp.asarray(block), key, win)
+    valid, _ = w2v._valid_for_block(jnp.asarray(block), key, win)
+    np.testing.assert_array_equal(np.asarray(validf),
+                                  np.asarray(valid).reshape(-1))
+    negs = jnp.asarray(rng.integers(0, V, kB).astype(np.int32))
+    w_in = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    w_out = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    a_in, a_out = w2v._sgns_apply_shared_pos(
+        w_in, w_out, jnp.asarray(block), pos_c, pos_x, validf, negs, 0.1,
+        neg_weight=5 / kB)
+    b_in, b_out = w2v._sgns_apply_shared_conv(
+        w_in, w_out, jnp.asarray(block), valid, negs, 0.1,
+        neg_weight=5 / kB, window=win)
+    np.testing.assert_allclose(np.asarray(a_in), np.asarray(b_in),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(b_out),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_shared_conv_dp_branch_matches_pos_dp_branch():
+    """The conv formulation's psum (dp) branch must be update-identical to the
+    position-granular psum branch — same accumulator/count merge semantics
+    (the dp branch normalizes negative-row/context collisions differently
+    from the single-replica branch by design, so the comparison is
+    branch-to-branch)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as PS
+
+    rng = np.random.default_rng(2)
+    V, D, B, T, win, kB = 200, 16, 4, 12, 3, 32
+    block = rng.integers(0, V, (B, T)).astype(np.int32)
+    key = jax.random.PRNGKey(3)
+    pos_c, pos_x, validf = w2v._pairs_pos_for_block(jnp.asarray(block), key, win)
+    valid, _ = w2v._valid_for_block(jnp.asarray(block), key, win)
+    negs = jnp.asarray(rng.integers(0, V, kB).astype(np.int32))
+    w_in = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    w_out = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("dp",))
+
+    def run(fn):
+        return jax.shard_map(fn, mesh=mesh, in_specs=(PS(), PS()),
+                             out_specs=(PS(), PS()))(w_in, w_out)
+
+    a_in, a_out = run(lambda wi, wo: w2v._sgns_apply_shared_pos(
+        wi, wo, jnp.asarray(block), pos_c, pos_x, validf, negs, 0.1,
+        neg_weight=5 / kB, axis_name="dp"))
+    b_in, b_out = run(lambda wi, wo: w2v._sgns_apply_shared_conv(
+        wi, wo, jnp.asarray(block), valid, negs, 0.1,
+        neg_weight=5 / kB, window=win, axis_name="dp"))
+    np.testing.assert_allclose(np.asarray(a_in), np.asarray(b_in),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(b_out),
+                               rtol=2e-4, atol=2e-6)
