@@ -96,8 +96,10 @@ def run_job(params: Params) -> str:
     elif params.cmd == TaskName.randomwalk:
         do_random_walk(params)
     elif params.cmd == TaskName.embedding:
-        corpus = gio.load_walks(params.input)
-        tokens, w_in, w_out = n2v.embed_token_corpus(corpus, params)
+        # vectorized walks-file ingest (ragged arrays): the per-token Python
+        # reader costs hours at the reference-default corpus (Main.scala:119-121)
+        values, offsets = gio.load_walks_ragged(params.input)
+        tokens, w_in, w_out = n2v.embed_ragged_corpus(values, offsets, params)
         n2v.save_model(params.output, tokens, w_in, w_out, params)
         gio.save_vectors(np.asarray(tokens), w_in, params.output,
                          n2v.output_partitions(params))

@@ -275,12 +275,17 @@ def load_walks_ragged(path: str) -> tuple[np.ndarray, np.ndarray]:
         files = sorted(
             os.path.join(path, f) for f in os.listdir(path)
             if f.startswith("part-"))
+    try:
+        from .. import native
+        _parse = native.parse_walks if native.available() else _parse_uint_lines
+    except Exception:
+        _parse = _parse_uint_lines
     vals: list[np.ndarray] = []
     lens: list[np.ndarray] = []
     for fn in files:
         with open(fn, "rb") as f:
             data = np.frombuffer(f.read(), dtype=np.uint8)
-        v, l = _parse_uint_lines(data)
+        v, l = _parse(data)
         vals.append(v)
         lens.append(l)
     values = np.concatenate(vals) if vals else np.zeros(0, np.int64)

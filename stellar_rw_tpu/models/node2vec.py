@@ -387,6 +387,15 @@ def embed_token_corpus(token_lists, params: Params):
     return vocab, w_in, w_out
 
 
+def embed_ragged_corpus(values: np.ndarray, offsets: np.ndarray,
+                        params: Params):
+    """embed_token_corpus on the vectorized ragged walks representation
+    (graph/io.load_walks_ragged) — the production `embedding` command path."""
+    corpus, vocab = w2v.corpus_from_ragged(values, offsets)
+    w_in, w_out = _train(corpus, len(vocab), params)
+    return vocab, w_in, w_out
+
+
 def output_partitions(params: Params) -> int:
     """singleOutput -> 1 file else rddPartitions files (reference Main.scala:64-69)."""
     return 1 if params.single_output else params.rdd_partitions

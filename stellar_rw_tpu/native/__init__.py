@@ -69,6 +69,10 @@ def _load():
         lib.srw_gather_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                         ctypes.c_int64, ctypes.c_void_p,
                                         ctypes.c_void_p, ctypes.c_int64]
+        lib.srw_parse_walks.restype = ctypes.c_int64
+        lib.srw_parse_walks.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -79,6 +83,24 @@ def available() -> bool:
         return True
     except NativeUnavailable:
         return False
+
+
+def parse_walks(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a walks-file byte buffer (uint8[n]) -> (values i64[NT], tokens per
+    non-empty line i64[NL]). Single C++ pass at memory bandwidth; semantics
+    identical to graph/io._parse_uint_lines (the NumPy fallback)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    nl = ctypes.c_int64(0)
+    nt = lib.srw_parse_walks(c(data), ctypes.c_int64(len(data)), None, None,
+                             ctypes.byref(nl))
+    values = np.zeros(nt, dtype=np.int64)
+    counts = np.zeros(nl.value, dtype=np.int64)
+    if nt:
+        lib.srw_parse_walks(c(data), ctypes.c_int64(len(data)), c(values),
+                            c(counts), None)
+    return values, counts
 
 
 def build_alias_rows(offsets: np.ndarray,

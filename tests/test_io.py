@@ -190,3 +190,96 @@ def test_alias_tables_uniform_fast_path():
                 mass[j] += g.alias_prob[s + j]
                 mass[g.alias_pos[s + j]] += 1.0 - g.alias_prob[s + j]
             assert np.allclose(mass / n, ws / ws.sum(), atol=1e-6)
+
+
+def test_load_walks_ragged_matches_list_loader(tmp_path, karate_path):
+    """The vectorized ragged reader must produce exactly the corpus of the
+    per-token loader: same walks, same order, same token values — including
+    multi-file /path dirs, empty lines, and a final unterminated line."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    rng = np.random.default_rng(4)
+    walks = rng.integers(0, g.num_vertices, size=(57, 9)).astype(np.int32)
+    walks[walks % 7 == 0] = -1  # ragged padding
+    walks[:, 0] = np.arange(57) % g.num_vertices
+    out = io.save_walks(walks, g, str(tmp_path), partitions=3)
+    expect = io.load_walks(out)
+    values, offsets = io.load_walks_ragged(out)
+    got = [values[offsets[i]:offsets[i + 1]].tolist()
+           for i in range(len(offsets) - 1)]
+    assert got == expect
+
+    # single file with oddities: blank lines, trailing spaces, no final \n
+    p = tmp_path / "walks.txt"
+    p.write_text("12 7 9\n\n  3   4  \n100000000007 5")
+    values, offsets = io.load_walks_ragged(str(p))
+    got = [values[offsets[i]:offsets[i + 1]].tolist()
+           for i in range(len(offsets) - 1)]
+    assert got == [[12, 7, 9], [3, 4], [100000000007, 5]]
+    assert got == io.load_walks(str(p))
+
+
+def test_ragged_corpus_matches_token_lists():
+    """corpus_from_ragged must reproduce corpus_from_token_lists exactly
+    (vocab order incl. str-tie-break, dense ids, padding)."""
+    from stellar_rw_tpu.models import word2vec as w2v
+
+    rows = [[10, 9, 10, 2], [9, 2], [2, 10, 9, 9, 5]]
+    c1, v1 = w2v.corpus_from_token_lists(rows)
+    values = np.concatenate([np.asarray(r, np.int64) for r in rows])
+    offsets = np.concatenate([[0], np.cumsum([len(r) for r in rows])])
+    c2, v2 = w2v.corpus_from_ragged(values, offsets)
+    assert v1 == v2
+    np.testing.assert_array_equal(c1, c2)
+    # tie-break check: 9 and 10 both appear 3x -> "10" < "9" string order
+    assert v1[:2] == [9, 10] or v1[:2] == [10, 9]
+    counts = {t: int((values == t).sum()) for t in set(values.tolist())}
+    assert counts[v1[0]] >= counts[v1[1]] >= counts[v1[2]]
+
+
+def test_walks_ingest_scales(tmp_path):
+    """Perf guard (round-3 verdict item 6): a ~1M-line corpus must load +
+    densify in seconds, not hours. ~21M tokens through parse + unique."""
+    import time
+
+    from stellar_rw_tpu.models import word2vec as w2v
+
+    rng = np.random.default_rng(0)
+    N, T = 1_000_000, 21
+    toks = rng.integers(0, 500_000, size=(N, T))
+    p = tmp_path / "big.txt"
+    t0 = time.time()
+    # fast writer for the fixture (not under test)
+    np.savetxt(p, toks, fmt="%d")
+    write_s = time.time() - t0
+    t0 = time.time()
+    values, offsets = io.load_walks_ragged(str(p))
+    parse_s = time.time() - t0
+    assert len(offsets) - 1 == N and len(values) == N * T
+    t0 = time.time()
+    corpus, vocab = w2v.corpus_from_ragged(values, offsets)
+    dense_s = time.time() - t0
+    assert corpus.shape == (N, T) and len(vocab) == len(set(values.tolist()))
+    # generous bounds for a loaded 2-vCPU CI host; the Python loops took
+    # ~10 min for this shape before vectorization
+    assert parse_s < 60, f"parse took {parse_s:.1f}s"
+    assert dense_s < 60, f"densify took {dense_s:.1f}s"
+    print(f"write {write_s:.1f}s parse {parse_s:.1f}s densify {dense_s:.1f}s")
+
+
+def test_native_parse_matches_numpy_fallback():
+    """The C++ walks parser and the NumPy fallback must agree byte-for-byte on
+    values and line structure (the production reader picks whichever exists)."""
+    from stellar_rw_tpu import native
+    from stellar_rw_tpu.graph.io import _parse_uint_lines
+
+    if not native.available():
+        import pytest
+        pytest.skip("native builder unavailable")
+    blob = b"12 7 9\n\n  3   4  \n9223372036854775807 0\n007 5"
+    data = np.frombuffer(blob, dtype=np.uint8)
+    v1, l1 = _parse_uint_lines(data)
+    v2, l2 = native.parse_walks(data)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(l1, l2)
+    assert v1.tolist() == [12, 7, 9, 3, 4, 9223372036854775807, 0, 7, 5]
+    assert l1.tolist() == [3, 2, 2, 2]
