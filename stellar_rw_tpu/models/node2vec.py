@@ -148,7 +148,8 @@ def _round_maker(graph: CSRGraph, params: Params,
         route = None
         if params.partitioned and home is not None:
             route = (home.astype(np.int64) % SH).astype(np.int32)
-        hsg = partition_graph(graph, SH, route)
+        hsg = partition_graph(graph, SH, route,
+                              build_glob2loc=route is not None)
         distributed.log_shard_stats(hsg)
         arrays, route_dev = distributed.device_put_sharded_graph(hsg, mesh)
         W_pad = -(-V // S) * S

@@ -108,7 +108,20 @@ def device_put_sharded_graph(hsg, mesh):
         "hash_meta": put(hsg.hash_meta, np.int32, P(AXIS)),
         "alias_packed": put(hsg.alias_packed, np.int32, P(AXIS)),
         "hash_buckets": put(hsg.hash_buckets, np.int32, P(AXIS)),
+        "vmeta": put(np.concatenate([hsg.row_meta, hsg.hash_meta], axis=-1),
+                     np.int32, P(AXIS)),
     }
+    hash_mode = hsg.halo_buckets is not None
+    if hash_mode:
+        # compact routing: no O(V) route/glob2loc on device (see
+        # distributed.device_put_sharded_graph)
+        packed = dict(packed)
+        packed["halo_buckets"] = put(hsg.halo_buckets, np.int32, P(AXIS))
+        packed["halo_nb"] = put(hsg.halo_nb, np.int32, P(AXIS))
+        g2l_host = np.zeros((hsg.num_shards, 1), np.int32)   # never read
+    else:
+        assert hsg.glob2loc is not None
+        g2l_host = hsg.glob2loc
     arrays = (
         put(hsg.offsets, np.int32, P(AXIS)),
         put(hsg.cols, np.int32, P(AXIS)),
@@ -118,10 +131,11 @@ def device_put_sharded_graph(hsg, mesh):
         put(hsg.hash_offsets, np.int32, P(AXIS)),
         put(hsg.hash_mask, np.int32, P(AXIS)),
         put(hsg.hash_table, np.int32, P(AXIS)),
-        put(hsg.glob2loc, np.int32, P(AXIS)),
+        put(g2l_host, np.int32, P(AXIS)),
         packed,
     )
-    route = put(hsg.route, np.int32, P(None))
+    route = put(np.zeros(1, np.int32) if hash_mode else hsg.route,
+                np.int32, P(None))
     return arrays, route
 
 
@@ -162,7 +176,8 @@ def multihost_random_walks(
     S = mesh.devices.shape[0]      # graph shards
     L = lanes
     D = S * L                      # walk devices
-    hsg = partition_graph(graph, S, route)
+    hsg = partition_graph(graph, S, route,
+                          build_glob2loc=route is not None)
     arrays, route_dev = device_put_sharded_graph(hsg, mesh)
     W = graph.num_vertices
     W_pad = -(-W // D) * D

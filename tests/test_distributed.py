@@ -288,3 +288,42 @@ def test_resolve_lanes_divisor_fallback():
     assert resolve_lanes(8, 99) == 8   # clamped to S first
     assert resolve_lanes(7, 2) == 1
     assert resolve_lanes(1, 1) == 1
+
+
+def test_compact_halo_routing_tables(karate_path):
+    """Hash-policy compact routing (round-3 verdict item 5): owned rows must
+    be exactly v // S (the arithmetic the device uses), every halo vertex must
+    resolve through its 32-byte bucket row, and the glob2loc-free build must
+    produce identical tables."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    S = 4
+    hsg = partition.partition_graph(g, S)
+    assert hsg.halo_buckets is not None and hsg.halo_nb is not None
+
+    def halo_lookup(s, v):
+        nb = int(hsg.halo_nb[s])
+        h = int((np.uint64(v) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF))
+        row = hsg.halo_buckets[s, h & (nb - 1)]
+        for i in range(4):
+            if row[i] == v:
+                return int(row[4 + i])
+        return -1
+
+    for s in range(S):
+        for v in range(g.num_vertices):
+            loc = int(hsg.glob2loc[s, v])
+            if v % S == s:
+                assert loc == v // S, (s, v, loc)       # owned: arithmetic row
+                assert halo_lookup(s, v) == -1          # never in halo table
+            else:
+                assert halo_lookup(s, v) == loc, (s, v) # halo or absent (-1)
+
+    hsg2 = partition.partition_graph(g, S, build_glob2loc=False)
+    assert hsg2.glob2loc is None
+    np.testing.assert_array_equal(hsg.halo_buckets, hsg2.halo_buckets)
+    np.testing.assert_array_equal(hsg.halo_nb, hsg2.halo_nb)
+
+    # explicit (VCut) routes keep the dense arrays and no halo tables
+    route = (np.arange(g.num_vertices) * 7 % 3).astype(np.int32)
+    hsg3 = partition.partition_graph(g, 3, route=route)
+    assert hsg3.halo_buckets is None and hsg3.glob2loc is not None
