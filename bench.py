@@ -607,9 +607,18 @@ def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
     t0 = time.time()
     walks = engine.random_walks(graph, walk_length=wl, num_walks=nw,
                                 p=0.25, q=0.25, seed=1)
+    print(f"# walks done in {time.time() - t0:.0f}s", file=sys.stderr,
+          flush=True)
+    # row_block=512: 16x fewer scan iterations per epoch than the default 32
+    # (tunnel dispatch overhead dominates small blocks at 1M-walk corpora);
+    # quality is measured row_block-invariant within 4% (BASELINE.md round 3)
     cfg = w2v.SGNSConfig(dim=128, window=10, negatives=5, lr=lr, iters=iters,
-                         seed=1, shared_negatives=128)
-    w_in, _ = w2v.train_skipgram(walks, graph.num_vertices, cfg)
+                         seed=1, shared_negatives=128, row_block=512)
+    w_in, _ = w2v.train_skipgram(
+        walks, graph.num_vertices, cfg,
+        on_epoch=lambda ep, *_: print(
+            f"# epoch {ep} at {time.time() - t0:.0f}s", file=sys.stderr,
+            flush=True))
     dt = time.time() - t0
     deg = graph.degrees
     rng = np.random.default_rng(0)
