@@ -106,11 +106,18 @@ def _kv_bucket_table(keys: np.ndarray, rows: np.ndarray,
 
 def partition_graph(graph: CSRGraph, num_shards: int,
                     route: np.ndarray | None = None,
-                    build_glob2loc: bool = True) -> ShardedGraphHost:
+                    build_glob2loc: bool = True,
+                    build_packed: bool = True) -> ShardedGraphHost:
     """build_glob2loc=False skips the O(S*V) dense lookup array — valid only
     for the hash policy (route=None), whose device engine resolves rows
     arithmetically + via the compact halo tables. The 50M-vertex/8-shard
-    partition drops ~1.6 GB of host/device arrays this way."""
+    partition drops ~1.6 GB of host/device arrays this way.
+
+    build_packed=False skips the packed fast-path tables (alias4 rows, bucket
+    membership, vmeta) — the engine falls back to the unpacked sampler
+    (correct, ~2x more gather transactions). Use when validating at scales
+    where the stacked packed tables don't fit host memory; a real pod builds
+    per-host shards and doesn't pay the all-shards-stacked cost."""
     graph.build_alias_tables()
     graph.build_hash_tables()
     V = graph.num_vertices
@@ -217,8 +224,8 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     # is inapplicable disables it for all (the device graph must be uniform).
     from ..ops.sampling import pack_tables_host
     pks: list = []
-    ok = True
-    for s, rows in enumerate(rows_per_shard):
+    ok = build_packed
+    for s, rows in enumerate(rows_per_shard if build_packed else []):
         R = len(rows)
         E_s = int(offsets[s, R]) if R else 0
         if R == 0 or E_s == 0:

@@ -327,3 +327,43 @@ def test_compact_halo_routing_tables(karate_path):
     route = (np.arange(g.num_vertices) * 7 % 3).astype(np.int32)
     hsg3 = partition.partition_graph(g, 3, route=route)
     assert hsg3.halo_buckets is None and hsg3.glob2loc is not None
+
+
+def test_unpacked_partition_matches(karate_path):
+    """build_packed=False (memory-lean validation mode) must still produce a
+    bitwise-identical corpus through the unpacked sampler fallback."""
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    kw = dict(walk_length=9, num_walks=2, p=0.5, q=2.0, seed=6,
+              sampler="rejection")
+    single = engine.random_walks(g, **kw)
+
+    import numpy as np
+    from stellar_rw_tpu.walk.engine import WalkSpec
+    from stellar_rw_tpu.ops import sampling
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    hsg = partition.partition_graph(g, 4, build_glob2loc=False,
+                                    build_packed=False)
+    assert hsg.row_meta is None and hsg.halo_buckets is not None
+    mesh = distributed.make_mesh(4)
+    arrays, route_dev = distributed.device_put_sharded_graph(hsg, mesh)
+    V = g.num_vertices
+    W_pad = -(-V // 4) * 4
+    starts_pad = np.full(W_pad, -1, np.int32)
+    starts_pad[:V] = np.arange(V)
+    sampler, max_rounds = sampling.plan_sampler("rejection", 0.5, 2.0)
+    spec = WalkSpec(walk_length=9, p=0.5, q=2.0, sampler=sampler,
+                    max_degree=g.max_degree,
+                    n_search_iters=sampling.search_iters(g.max_degree),
+                    max_rounds=max_rounds, n_stream=V, rng_impl="threefry")
+    starts_dev = jax.device_put(
+        jnp.asarray(starts_pad),
+        NamedSharding(mesh, P((distributed.AXIS, distributed.LANE))))
+    key = sampling.make_key(6, "threefry")
+    paths, _ = distributed.distributed_walk_corpus(
+        arrays, route_dev, starts_dev, key, np.int32(0), spec, 2, 4, 16,
+        mesh, 1)
+    multi = np.asarray(paths).reshape(2, W_pad, -1)[:, :V].reshape(2 * V, -1)
+    np.testing.assert_array_equal(single, multi)
