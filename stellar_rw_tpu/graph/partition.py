@@ -104,6 +104,224 @@ def _kv_bucket_table(keys: np.ndarray, rows: np.ndarray,
         nb *= 2
 
 
+@dataclass
+class ShardPlan:
+    """Pass-1 partitioning decisions: who owns what, padded shapes. Cheap to
+    hold (row-id lists, no shard arrays) — the input to both the stacked
+    builder (partition_graph) and the shard-at-a-time streamed uploader
+    (parallel/distributed.device_put_sharded_graph_streamed)."""
+
+    num_shards: int
+    route: np.ndarray              # i32[V] (host)
+    is_hash: bool
+    rows_per_shard: list           # [S] i64 row-id arrays, owned-first
+    num_owned: np.ndarray          # i32[S]
+    num_local: np.ndarray          # i32[S]
+    R_max: int
+    E_max: int
+    H_max: int
+
+    @property
+    def replication_factor(self) -> float:
+        return float(self.num_local.sum()) / max(1, len(self.route))
+
+
+def plan_shards(graph: CSRGraph, num_shards: int,
+                route: np.ndarray | None = None) -> ShardPlan:
+    """Pass 1: ownership + halo row sets and the common padded shapes.
+
+    Halo rule: each arc u->w obliges shard route[u] to hold row(w) and shard
+    route[w] to hold row(u) — per-shard boolean masks over V with whole-arc
+    writes (O(S*E) vectorized compares; beats a global 2E-key unique by a
+    wide margin at LiveJournal scale)."""
+    graph.build_alias_tables()
+    graph.build_hash_tables()
+    V = graph.num_vertices
+    S = num_shards
+    is_hash = route is None
+    if route is None:
+        route = (np.arange(V) % S).astype(np.int32)
+    else:
+        route = np.asarray(route, dtype=np.int32)
+        assert route.shape == (V,) and route.min(initial=0) >= 0 and \
+            route.max(initial=0) < S, "route must map every vertex to [0, S)"
+    deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
+    E = graph.num_edges
+    if E:
+        src_of_edge = np.repeat(np.arange(V, dtype=np.int64), deg)
+        route_src = route[src_of_edge]
+        route_dst = route[graph.cols]
+    rows_per_shard: list[np.ndarray] = []
+    num_owned = np.zeros(S, dtype=np.int32)
+    num_local = np.zeros(S, dtype=np.int32)
+    for s in range(S):
+        owned_mask = route == s
+        nbr_mask = np.zeros(V, dtype=bool)
+        if E:
+            nbr_mask[graph.cols[route_src == s]] = True   # out-nbrs of owned
+            nbr_mask[src_of_edge[route_dst == s]] = True  # in-nbrs of owned
+        halo = np.flatnonzero(nbr_mask & ~owned_mask).astype(np.int64)
+        owned = np.flatnonzero(owned_mask).astype(np.int64)
+        rows_per_shard.append(np.concatenate([owned, halo]))
+        num_owned[s] = len(owned)
+        num_local[s] = len(owned) + len(halo)
+    hsizes = (graph.hash_offsets[1:] - graph.hash_offsets[:-1]).astype(np.int64)
+    return ShardPlan(
+        num_shards=S, route=route, is_hash=is_hash,
+        rows_per_shard=rows_per_shard, num_owned=num_owned,
+        num_local=num_local,
+        R_max=max((len(r) for r in rows_per_shard), default=1) or 1,
+        E_max=max((int(deg[r].sum()) for r in rows_per_shard),
+                  default=1) or 1,
+        H_max=max((int(hsizes[r].sum()) for r in rows_per_shard),
+                  default=8) or 8)
+
+
+def build_shard(graph: CSRGraph, plan: ShardPlan, s: int,
+                build_packed: bool = True) -> dict:
+    """Pass 2 for ONE shard: padded per-shard arrays (leading shard axis
+    absent), keyed by the ShardedGraphHost field names. Bucket tables
+    ('hash_buckets' [NB_s, 4] and 'halo_buckets' [nb_s, 8]) come UNPADDED —
+    their global padded sizes depend on every shard's data; callers pad
+    (partition_graph stacks to the max; the streamed uploader sizes them with
+    a cheap pre-pass). Raises if packing is inapplicable and build_packed
+    (streamed uploads cannot retro-disable packing shard 0 after upload —
+    rerun with build_packed=False)."""
+    from ..ops.sampling import pack_tables_host, vmeta_host
+    from .csr import HASH_MULT
+
+    rows = plan.rows_per_shard[s]
+    R = len(rows)
+    R_max, E_max, H_max = plan.R_max, plan.E_max, plan.H_max
+    deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
+    hsizes = (graph.hash_offsets[1:] - graph.hash_offsets[:-1]).astype(np.int64)
+    out: dict = {
+        "offsets": np.zeros(R_max + 1, dtype=np.int64),
+        "cols": np.empty(E_max, dtype=np.int32),
+        "weights": np.empty(E_max, dtype=np.float32),
+        "alias_prob": np.empty(E_max, dtype=np.float32),
+        "alias_pos": np.empty(E_max, dtype=np.int32),
+        "hash_offsets": np.zeros(R_max, dtype=np.int64),
+        "hash_mask": np.zeros(R_max, dtype=np.int32),
+        "hash_table": np.empty(H_max, dtype=np.int32),
+    }
+    if R:
+        lens = deg[rows]
+        E_s = int(lens.sum())
+        np.cumsum(lens, out=out["offsets"][1:R + 1])
+        out["offsets"][R + 1:] = out["offsets"][R]
+        if E_s:
+            starts = graph.offsets[:-1][rows]
+            _fill_rows(starts, lens, graph.cols, out["cols"])
+            _fill_rows(starts, lens, graph.weights, out["weights"])
+            _fill_rows(starts, lens, graph.alias_prob, out["alias_prob"])
+            _fill_rows(starts, lens, graph.alias_pos, out["alias_pos"])
+        hs = hsizes[rows]
+        out["hash_offsets"][1:R] = np.cumsum(hs)[:-1]
+        out["hash_mask"][:R] = graph.hash_mask[rows]
+        if int(hs.sum()):
+            _fill_rows(graph.hash_offsets[:-1][rows], hs, graph.hash_table,
+                       out["hash_table"])
+    else:
+        E_s = 0
+    if build_packed and R and E_s:
+        pk = pack_tables_host(out["offsets"][:R + 1], out["cols"][:E_s],
+                              out["alias_prob"][:E_s], out["alias_pos"][:E_s])
+        if pk is None:
+            raise ValueError(
+                f"shard {s}: packed tables inapplicable (layout exceeds "
+                "int32); rerun with build_packed=False")
+        row_meta = np.zeros((R_max, 2), dtype=np.int32)
+        hash_meta = np.zeros((R_max, 2), dtype=np.int32)
+        alias_packed = np.zeros((E_max, 4), dtype=np.int32)
+        row_meta[:R] = pk[0]
+        alias_packed[:E_s] = pk[1]
+        hash_meta[:R] = pk[2]
+        out["row_meta"] = row_meta
+        out["hash_meta"] = hash_meta
+        out["alias_packed"] = alias_packed
+        out["hash_buckets"] = pk[3]                      # UNPADDED [NB_s, 4]
+        out["vmeta"] = vmeta_host(row_meta, hash_meta)
+    elif build_packed:
+        out["row_meta"] = np.zeros((R_max, 2), dtype=np.int32)
+        out["hash_meta"] = np.zeros((R_max, 2), dtype=np.int32)
+        out["alias_packed"] = np.zeros((E_max, 4), dtype=np.int32)
+        out["hash_buckets"] = np.full((1, 4), -1, dtype=np.int32)
+        out["vmeta"] = vmeta_host(out["row_meta"], out["hash_meta"])
+    if plan.is_hash:
+        halo_ids = rows[plan.num_owned[s]:]
+        halo_rows = np.arange(plan.num_owned[s], R, dtype=np.int64)
+        tab, nb = _kv_bucket_table(halo_ids, halo_rows, int(HASH_MULT))
+        out["halo_buckets"] = tab                        # UNPADDED [nb_s, 8]
+        out["halo_nb"] = nb
+    else:
+        g2l = np.full(graph.num_vertices, -1, dtype=np.int32)
+        if R:
+            g2l[rows] = np.arange(R, dtype=np.int32)
+        out["glob2loc"] = g2l
+    return out
+
+
+def shard_bucket_sizes(graph: CSRGraph, plan: ShardPlan, s: int,
+                       build_packed: bool) -> tuple[int, int]:
+    """Exact built sizes of shard s's data-dependent bucket tables
+    (membership NB_s, halo NBH_s) — the streamed uploader's sizing pre-pass.
+    Builds the tables once and frees them (bucket growth on collision makes
+    the sizes non-derivable without building); everything else in a shard has
+    plan-derivable shapes."""
+    from ..ops.sampling import bucket_tables_host
+    from .csr import HASH_MULT
+
+    rows = plan.rows_per_shard[s]
+    R = len(rows)
+    NB_s = 1
+    if build_packed and R:
+        deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
+        lens = deg[rows]
+        E_s = int(lens.sum())
+        if E_s:
+            offs = np.zeros(R + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            cols = np.empty(E_s, dtype=np.int32)
+            _fill_rows(graph.offsets[:-1][rows], lens, graph.cols, cols)
+            bt = bucket_tables_host(offs, cols)
+            if bt is None:
+                raise ValueError(
+                    f"shard {s}: packed tables inapplicable; use "
+                    "build_packed=False")
+            NB_s = len(bt[1])
+    NBH_s = 1
+    if plan.is_hash:
+        halo_ids = rows[plan.num_owned[s]:]
+        halo_rows = np.arange(plan.num_owned[s], R, dtype=np.int64)
+        _, NBH_s = _kv_bucket_table(halo_ids, halo_rows, int(HASH_MULT))
+    return NB_s, NBH_s
+
+
+_native_gather = None
+
+
+def _fill_rows(starts: np.ndarray, lens: np.ndarray, src: np.ndarray,
+               out_row: np.ndarray) -> None:
+    """out_row[:lens.sum()] = concat of src[starts[i]:starts[i]+lens[i]].
+    Native range-memcpy when available; NumPy flat-index fallback."""
+    global _native_gather
+    if _native_gather is None:
+        try:
+            from .. import native
+            _native_gather = native.gather_rows if native.available() else False
+        except Exception:
+            _native_gather = False
+    if _native_gather:
+        _native_gather(starts, lens, np.ascontiguousarray(src), out_row)
+        return
+    total = int(lens.sum())
+    csum = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=csum[1:])
+    idx = np.repeat(starts - csum[:-1], lens) + np.arange(total, dtype=np.int64)
+    out_row[:total] = src[idx]
+
+
 def partition_graph(graph: CSRGraph, num_shards: int,
                     route: np.ndarray | None = None,
                     build_glob2loc: bool = True,
@@ -117,45 +335,19 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     membership, vmeta) — the engine falls back to the unpacked sampler
     (correct, ~2x more gather transactions). Use when validating at scales
     where the stacked packed tables don't fit host memory; a real pod builds
-    per-host shards and doesn't pay the all-shards-stacked cost."""
-    graph.build_alias_tables()
-    graph.build_hash_tables()
+    per-host shards and doesn't pay the all-shards-stacked cost (see
+    parallel/distributed.device_put_sharded_graph_streamed).
+    """
+    plan = plan_shards(graph, num_shards, route)
     V = graph.num_vertices
     S = num_shards
-    is_hash = route is None
-    if route is None:
-        route = (np.arange(V) % S).astype(np.int32)
-    else:
-        route = np.asarray(route, dtype=np.int32)
-        assert route.shape == (V,) and route.min(initial=0) >= 0 and \
-            route.max(initial=0) < S, "route must map every vertex to [0, S)"
-
+    route = plan.route
+    is_hash = plan.is_hash
+    rows_per_shard = plan.rows_per_shard
+    R_max, E_max, H_max = plan.R_max, plan.E_max, plan.H_max
     deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
     E = graph.num_edges
-
-    # Halo rows, vectorized per shard: each arc u->w obliges shard route[u] to
-    # hold row(w) and shard route[w] to hold row(u). Per-shard boolean masks over
-    # V with whole-arc-array writes (O(S*E) vectorized compares total — beats a
-    # global 2E-key unique by a wide margin at LiveJournal scale).
-    if E:
-        src_of_edge = np.repeat(np.arange(V, dtype=np.int64), deg)
-        route_src = route[src_of_edge]
-        route_dst = route[graph.cols]
-    rows_per_shard: list[np.ndarray] = []
-    for s in range(S):
-        owned_mask = route == s
-        nbr_mask = np.zeros(V, dtype=bool)
-        if E:
-            nbr_mask[graph.cols[route_src == s]] = True   # out-neighbors of owned
-            nbr_mask[src_of_edge[route_dst == s]] = True  # in-neighbors of owned
-        halo = np.flatnonzero(nbr_mask & ~owned_mask).astype(np.int64)
-        owned = np.flatnonzero(owned_mask).astype(np.int64)
-        rows_per_shard.append(np.concatenate([owned, halo]))
-
-    R_max = max((len(r) for r in rows_per_shard), default=1) or 1
-    E_max = max((int(deg[r].sum()) for r in rows_per_shard), default=1) or 1
     hsizes = (graph.hash_offsets[1:] - graph.hash_offsets[:-1]).astype(np.int64)
-    H_max = max((int(hsizes[r].sum()) for r in rows_per_shard), default=8) or 8
 
     offsets = np.zeros((S, R_max + 1), dtype=np.int64)
     # padding areas beyond each shard's fill are never read on device (offsets/
@@ -172,32 +364,12 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     assert build_glob2loc or is_hash, \
         "build_glob2loc=False requires the hash policy (route=None)"
     glob2loc = np.full((S, V), -1, dtype=np.int32) if build_glob2loc else None
-    num_owned = np.zeros(S, dtype=np.int32)
-    num_local = np.zeros(S, dtype=np.int32)
-
-    try:
-        from .. import native
-        _gather = native.gather_rows if native.available() else None
-    except Exception:
-        _gather = None
-
-    def _fill(starts: np.ndarray, lens: np.ndarray, src: np.ndarray,
-              out_row: np.ndarray) -> None:
-        """out_row[:lens.sum()] = concat of src[starts[i]:starts[i]+lens[i]].
-        Native range-memcpy when available; NumPy flat-index fallback."""
-        if _gather is not None:
-            _gather(starts, lens, np.ascontiguousarray(src), out_row)
-            return
-        total = int(lens.sum())
-        csum = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=csum[1:])
-        idx = np.repeat(starts - csum[:-1], lens) + np.arange(total, dtype=np.int64)
-        out_row[:total] = src[idx]
+    num_owned = plan.num_owned
+    num_local = plan.num_local
+    _fill = _fill_rows
 
     for s, rows in enumerate(rows_per_shard):
         R = len(rows)
-        num_owned[s] = int((route == s).sum())
-        num_local[s] = R
         if R == 0:
             continue
         if glob2loc is not None:

@@ -489,6 +489,101 @@ def device_put_sharded_graph(hsg: ShardedGraphHost, mesh: Mesh):
     return arrays, route
 
 
+def device_put_sharded_graph_streamed(graph: CSRGraph, mesh: Mesh,
+                                      route: np.ndarray | None = None,
+                                      build_packed: bool = True,
+                                      plan=None):
+    """Build + upload ONE graph shard at a time — peak host memory is the
+    source graph + a single shard, not all S stacked shards (the round-4
+    single-host memory wall: 50M V / 300M arcs OOM'd a 125 GB host through
+    the stacked path, BASELINE.md).
+
+    Multi-process aware: every process runs the cheap sizing pre-pass over
+    all shards (shapes must agree globally) but BUILDS AND UPLOADS only the
+    shards its addressable devices own — the production pod memory shape,
+    where each host pays for its own shard alone (the reference's analog:
+    each executor fills only its GraphMap, GraphMap.scala:11).
+
+    Returns (arrays, route_dev, plan) — drop-in for device_put_sharded_graph
+    with the ShardPlan standing in for ShardedGraphHost stats.
+    """
+    from ..graph import partition as part
+
+    S, L = mesh.devices.shape
+    plan = plan if plan is not None else part.plan_shards(graph, S, route)
+    me = jax.process_index()
+    local = [s for s in range(S)
+             if any(d.process_index == me for d in mesh.devices[s])]
+    # sizing pre-pass: bucket-table sizes are data-dependent (collision
+    # growth), so exact padded shapes need a throwaway build — ~half a shard's
+    # build cost each, freed immediately
+    NB_max = NBH_max = 1
+    for s in range(S):
+        nb, nbh = part.shard_bucket_sizes(graph, plan, s, build_packed)
+        NB_max = max(NB_max, nb)
+        NBH_max = max(NBH_max, nbh)
+
+    per_dev: dict[str, list] = {}
+    dev_order: list = []
+    for s in local:
+        shard = part.build_shard(graph, plan, s, build_packed)
+        if build_packed:
+            hb = np.full((NB_max, BUCKET4), -1, np.int32)
+            hb[:len(shard["hash_buckets"])] = shard["hash_buckets"]
+            shard["hash_buckets"] = hb
+        if plan.is_hash:
+            hB = np.full((NBH_max, 8), -1, np.int32)
+            hB[:len(shard["halo_buckets"])] = shard["halo_buckets"]
+            shard["halo_buckets"] = hB
+            shard["halo_nb"] = np.full((), shard["halo_nb"], np.int32)
+            shard["glob2loc"] = np.zeros(1, np.int32)    # never read
+        cast = {"weights": jnp.float32, "alias_prob": jnp.float32}
+        for d in mesh.devices[s]:                        # L lanes per shard
+            if d.process_index != me:
+                continue
+            dev_order.append(d)
+            for f, arr in shard.items():
+                buf = jax.device_put(
+                    jnp.asarray(arr, dtype=cast.get(f, jnp.int32))[None],
+                    d)
+                per_dev.setdefault(f, []).append(buf)
+        del shard
+
+    shard_nd = jax.sharding.NamedSharding(mesh, P(AXIS))
+    repl_nd = jax.sharding.NamedSharding(mesh, P(None))
+
+    def assemble(f):
+        bufs = per_dev[f]
+        shape = (S,) + bufs[0].shape[1:]
+        return jax.make_array_from_single_device_arrays(shape, shard_nd, bufs)
+
+    packed = {}
+    if build_packed:
+        for f in ("row_meta", "hash_meta", "alias_packed", "hash_buckets",
+                  "vmeta"):
+            packed[f] = assemble(f)
+    if plan.is_hash:
+        packed["halo_buckets"] = assemble("halo_buckets")
+        packed["halo_nb"] = assemble("halo_nb")
+        route_host = np.zeros(1, np.int32)
+    else:
+        route_host = plan.route
+    route_bufs = [jax.device_put(jnp.asarray(route_host, jnp.int32), d)
+                  for d in mesh.devices.flat if d.process_index == me]
+    route_dev = jax.make_array_from_single_device_arrays(
+        route_host.shape, repl_nd, route_bufs)
+    arrays = (
+        assemble("offsets"), assemble("cols"), assemble("weights"),
+        assemble("alias_prob"), assemble("alias_pos"),
+        assemble("hash_offsets"), assemble("hash_mask"),
+        assemble("hash_table"), assemble("glob2loc"), packed,
+    )
+    return arrays, route_dev, plan
+
+
+BUCKET4 = 4  # membership bucket slots (ops/sampling.BUCKET_SLOTS)
+
+
 def auto_capacity(graph: CSRGraph, route: np.ndarray, S: int, n: int,
                   headroom: float = 1.5, floor: int = 32) -> int:
     """Per-destination bucket capacity from the graph's measured boundary-arc
@@ -552,6 +647,7 @@ def distributed_random_walks(
     return_stats: bool = False,
     rng_impl: str = "threefry",
     lanes: int = 1,
+    streamed: bool = False,
 ):
     """Sharded corpus generation mirroring engine.random_walks — bitwise identical
     results for any shard count / lane count / route / exchange capacity (same
@@ -563,7 +659,9 @@ def distributed_random_walks(
     from the measured boundary-arc fraction. lanes: devices SHARING each graph
     shard (num_shards total devices = num_shards/lanes graph shards x lanes;
     the per-executor GraphMap sharing of the reference, SURVEY.md §2.3-3 —
-    halo replication shrinks by ~lanes).
+    halo replication shrinks by ~lanes). streamed: build + upload one shard
+    at a time (peak host = graph + one shard; bitwise-identical corpus —
+    tests/test_distributed.py::test_streamed_upload_matches_stacked).
     """
     import jax as _jax
     D_req = num_shards or len(_jax.devices())
@@ -574,11 +672,19 @@ def distributed_random_walks(
     S = mesh.devices.shape[0]          # graph shards
     L = lanes
     D = S * L                          # walk devices
-    hsg = partition_graph(graph, S, route,
-                          build_glob2loc=route is not None)
-    if verbose:
-        log_shard_stats(hsg)
-    arrays, route_dev = device_put_sharded_graph(hsg, mesh)
+    if streamed:
+        arrays, route_dev, plan = device_put_sharded_graph_streamed(
+            graph, mesh, route)
+        route_host = plan.route
+        repl_factor = plan.replication_factor
+    else:
+        hsg = partition_graph(graph, S, route,
+                              build_glob2loc=route is not None)
+        if verbose:
+            log_shard_stats(hsg)
+        arrays, route_dev = device_put_sharded_graph(hsg, mesh)
+        route_host = hsg.route
+        repl_factor = hsg.replication_factor
     if starts is None:
         starts = np.arange(graph.num_vertices, dtype=np.int32)
     W = len(starts)
@@ -586,7 +692,8 @@ def distributed_random_walks(
     starts_pad = np.full(W_pad, -1, dtype=np.int32)
     starts_pad[:W] = starts
     n = num_walks * W_pad // D
-    C = capacity if capacity is not None else auto_capacity(graph, hsg.route, D, n)
+    C = capacity if capacity is not None else auto_capacity(
+        graph, route_host, D, n)
     C = max(1, min(C, n))
     sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
     spec = WalkSpec(
@@ -618,7 +725,7 @@ def distributed_random_walks(
             "num_shards": S,
             "lanes": L,
             "capacity": C,
-            "replication_factor": hsg.replication_factor,
+            "replication_factor": repl_factor,
             "boundary_walkers": int(diag[:, 0].sum()),
             "zero_neighbors": int(diag[:, 1].sum()),
             "overflow_steps": int((diag[:, 2] > 1).sum()),

@@ -29,7 +29,6 @@ import os
 import numpy as np
 
 from ..graph.csr import CSRGraph
-from ..graph.partition import partition_graph
 from ..ops import sampling
 from ..walk.engine import WalkSpec
 from . import distributed
@@ -98,47 +97,6 @@ def _put_global(x: np.ndarray, mesh, spec):
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
-def device_put_sharded_graph(hsg, mesh):
-    """Multi-process-safe variant of distributed.device_put_sharded_graph."""
-    from jax.sharding import PartitionSpec as P
-
-    put = lambda a, dt, sp: _put_global(np.asarray(a, dtype=dt), mesh, sp)
-    packed = {} if hsg.row_meta is None else {
-        "row_meta": put(hsg.row_meta, np.int32, P(AXIS)),
-        "hash_meta": put(hsg.hash_meta, np.int32, P(AXIS)),
-        "alias_packed": put(hsg.alias_packed, np.int32, P(AXIS)),
-        "hash_buckets": put(hsg.hash_buckets, np.int32, P(AXIS)),
-        "vmeta": put(np.concatenate([hsg.row_meta, hsg.hash_meta], axis=-1),
-                     np.int32, P(AXIS)),
-    }
-    hash_mode = hsg.halo_buckets is not None
-    if hash_mode:
-        # compact routing: no O(V) route/glob2loc on device (see
-        # distributed.device_put_sharded_graph)
-        packed = dict(packed)
-        packed["halo_buckets"] = put(hsg.halo_buckets, np.int32, P(AXIS))
-        packed["halo_nb"] = put(hsg.halo_nb, np.int32, P(AXIS))
-        g2l_host = np.zeros((hsg.num_shards, 1), np.int32)   # never read
-    else:
-        assert hsg.glob2loc is not None
-        g2l_host = hsg.glob2loc
-    arrays = (
-        put(hsg.offsets, np.int32, P(AXIS)),
-        put(hsg.cols, np.int32, P(AXIS)),
-        put(hsg.weights, np.float32, P(AXIS)),
-        put(hsg.alias_prob, np.float32, P(AXIS)),
-        put(hsg.alias_pos, np.int32, P(AXIS)),
-        put(hsg.hash_offsets, np.int32, P(AXIS)),
-        put(hsg.hash_mask, np.int32, P(AXIS)),
-        put(hsg.hash_table, np.int32, P(AXIS)),
-        put(g2l_host, np.int32, P(AXIS)),
-        packed,
-    )
-    route = put(np.zeros(1, np.int32) if hash_mode else hsg.route,
-                np.int32, P(None))
-    return arrays, route
-
-
 def multihost_random_walks(
     graph: CSRGraph,
     walk_length: int,
@@ -176,16 +134,20 @@ def multihost_random_walks(
     S = mesh.devices.shape[0]      # graph shards
     L = lanes
     D = S * L                      # walk devices
-    hsg = partition_graph(graph, S, route,
-                          build_glob2loc=route is not None)
-    arrays, route_dev = device_put_sharded_graph(hsg, mesh)
+    # shard-at-a-time streamed build: THIS process builds and uploads only the
+    # shards its own devices hold (the reference analog: each executor fills
+    # only its GraphMap, GraphMap.scala:11) — per-host memory is the graph +
+    # one shard, not all S stacked shards
+    arrays, route_dev, plan = distributed.device_put_sharded_graph_streamed(
+        graph, mesh, route)
+    route_host = plan.route
     W = graph.num_vertices
     W_pad = -(-W // D) * D
     starts_pad = np.full(W_pad, -1, dtype=np.int32)
     starts_pad[:W] = np.arange(W, dtype=np.int32)
     n = num_walks * W_pad // D
     C = capacity if capacity is not None else distributed.auto_capacity(
-        graph, hsg.route, D, n)
+        graph, route_host, D, n)
     C = max(1, min(C, n))
     sampler, max_rounds = sampling.plan_sampler(sampler, p, q)
     spec = WalkSpec(

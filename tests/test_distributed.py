@@ -367,3 +367,67 @@ def test_unpacked_partition_matches(karate_path):
         mesh, 1)
     multi = np.asarray(paths).reshape(2, W_pad, -1)[:, :V].reshape(2 * V, -1)
     np.testing.assert_array_equal(single, multi)
+
+
+def test_streamed_upload_matches_stacked(karate_path):
+    """device_put_sharded_graph_streamed must produce device arrays — and a
+    corpus — bitwise identical to the stacked path, for hash and explicit
+    routes and with lanes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from stellar_rw_tpu.ops import sampling
+    from stellar_rw_tpu.walk.engine import WalkSpec
+
+    g = io.load_edge_list(karate_path, weighted=False, directed=False)
+    V = g.num_vertices
+
+    def corpus(arrays, route_dev, mesh, S, L, spec, W_pad):
+        starts_pad = np.full(W_pad, -1, np.int32)
+        starts_pad[:V] = np.arange(V)
+        starts_dev = jax.device_put(
+            jnp.asarray(starts_pad),
+            NamedSharding(mesh, P((distributed.AXIS, distributed.LANE))))
+        key = sampling.make_key(6, "threefry")
+        paths, _ = distributed.distributed_walk_corpus(
+            arrays, route_dev, starts_dev, key, np.int32(0), spec, 2, S, 16,
+            mesh, L)
+        return np.asarray(paths)
+
+    for route, S, L in [(None, 4, 1), (None, 2, 2),
+                        ((np.arange(V) * 3 % 3).astype(np.int32), 3, 1)]:
+        D = S * L
+        mesh = distributed.make_mesh(S, L)
+        hsg = partition.partition_graph(g, S, route=route,
+                                        build_glob2loc=route is not None)
+        a_stacked, r_stacked = distributed.device_put_sharded_graph(hsg, mesh)
+        a_str, r_str, plan = distributed.device_put_sharded_graph_streamed(
+            g, mesh, route=route)
+        assert abs(plan.replication_factor - hsg.replication_factor) < 1e-9
+        # deterministically-filled device arrays bitwise equal (np.empty
+        # padding tails beyond each shard's fill differ and are never read:
+        # cols/weights/alias/htab are checked through the corpus instead)
+        for i in (0, 8):  # offsets, glob2loc/dummy
+            np.testing.assert_array_equal(
+                np.asarray(a_stacked[i]), np.asarray(a_str[i]),
+                err_msg=str(i))
+        assert set(a_stacked[-1]) == set(a_str[-1])
+        for f in a_stacked[-1]:
+            if f == "alias_packed":
+                continue  # zero-padded in stacked, same live prefix; the
+                #           prefix is validated through the corpus
+            np.testing.assert_array_equal(
+                np.asarray(a_stacked[-1][f]), np.asarray(a_str[-1][f]),
+                err_msg=f)
+        np.testing.assert_array_equal(np.asarray(r_stacked),
+                                      np.asarray(r_str))
+        W_pad = -(-V // D) * D
+        sampler, max_rounds = sampling.plan_sampler("rejection", 0.5, 2.0)
+        spec = WalkSpec(walk_length=7, p=0.5, q=2.0, sampler=sampler,
+                        max_degree=g.max_degree,
+                        n_search_iters=sampling.search_iters(g.max_degree),
+                        max_rounds=max_rounds, n_stream=V,
+                        rng_impl="threefry")
+        np.testing.assert_array_equal(
+            corpus(a_stacked, r_stacked, mesh, S, L, spec, W_pad),
+            corpus(a_str, r_str, mesh, S, L, spec, W_pad))
