@@ -95,7 +95,7 @@ def run_walks(graph: CSRGraph, params: Params,
         route = (home.astype(np.int64) % max(S // lanes, 1)).astype(np.int32)
     walks, stats = distributed.distributed_random_walks(
         graph, num_shards=S, route=route, verbose=True, return_stats=True,
-        lanes=lanes, **kw)
+        lanes=lanes, streamed=params.streamed, **kw)
     print(f"shards: {stats['num_shards']} x {stats['lanes']} lanes "
           f"({'vcut' if route is not None else 'hash'} routing), "
           f"replication factor: {stats['replication_factor']:.3f}, "

@@ -59,6 +59,9 @@ class Params:
     #                               GraphMap.scala:11): total walk devices =
     #                               (shards/lanes) graph shards x lanes, cutting
     #                               halo replication by ~lanes
+    streamed: bool = False        # shard-at-a-time graph build + upload (peak
+    #                               host memory = graph + ONE shard, not all
+    #                               stacked shards; same bitwise corpus)
     seed: int = 0
     sampler: str = "rejection"  # "rejection" (alias+accept, prod) | "cdf" (exact inverse-CDF)
     w2v_negatives: int = 5
@@ -136,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="devices sharing each graph shard (per-host replication "
                          "domain; walk devices = shards, graph shards = "
                          "shards/lanes)")
+    ap.add_argument("--streamed", type=_bool, default=d.streamed,
+                    help="build + upload graph shards one at a time (peak host "
+                         "memory = graph + one shard; identical corpus)")
     ap.add_argument("--seed", type=int, default=d.seed, help="PRNG seed (counter-based keys)")
     ap.add_argument("--sampler", choices=["rejection", "cdf"], default=d.sampler,
                     help="transition sampler: rejection (alias+accept) or cdf (exact inverse-CDF)")
@@ -180,7 +186,7 @@ def parse(argv: list[str]) -> Params | None:
         directed=ns.directed, input=ns.input, output=ns.output,
         rdd_partitions=ns.rddPartitions, single_output=ns.singleOutput,
         partitioned=ns.partitioned, cmd=TaskName(ns.cmd), shards=ns.shards,
-        lanes=ns.lanes, seed=ns.seed,
+        lanes=ns.lanes, streamed=ns.streamed, seed=ns.seed,
         sampler=ns.sampler, w2v_negatives=ns.negatives,
         resume=ns.resume, checkpoint_every=ns.checkpointEvery,
         shared_negatives=ns.sharedNegatives, w2v_model_shards=ns.w2vModelShards,

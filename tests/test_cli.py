@@ -200,3 +200,19 @@ def test_cli_lanes_corpus_identical(tmp_path, karate_path):
         ] + extra))
         outs.append(open(os.path.join(out, "path", "part-00000")).read())
     assert outs[0] == outs[1]
+
+
+def test_streamed_flag_cli(tmp_path, karate_path):
+    """--streamed true routes the sharded engine through the shard-at-a-time
+    builder with an identical corpus."""
+    from stellar_rw_tpu import cli
+    from stellar_rw_tpu.utils import config
+
+    outs = []
+    for out, flag in [(tmp_path / "a", "false"), (tmp_path / "b", "true")]:
+        cli.run_job(config.parse(
+            ["--cmd", "randomwalk", "--input", karate_path, "--output",
+             str(out), "--walkLength", "6", "--numWalks", "2",
+             "--weighted", "false", "--shards", "4", "--streamed", flag]))
+        outs.append((out / "path" / "part-00000").read_text())
+    assert outs[0] == outs[1]
