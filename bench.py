@@ -578,11 +578,13 @@ def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
     deterministic >=100K-vertex labeled overlapping-community synthetic.
 
     protocol: "short" = the fast smoke settings (walkLength=40, numWalks=5,
-    iter=3, lr=0.05); "reference" (`--quality --full`) = the reference's
-    default hyperparameters — walkLength=80, numWalks=10, p=q=0.25 per the
-    BlogCatalog config, dim=128, window=10, iter=10, lr=0.025
-    (/root/reference Params.scala:7-23) — the settings the BASELINE
-    quality-parity claim is defined against (round-3 verdict weak item 5)."""
+    iter=3, lr=0.05); "reference" (`--quality --full`) = the reference
+    protocol — walkLength=80, numWalks=10, dim=128, window=10, iter=10,
+    lr=0.025 from the reference's Params.scala:7-23 defaults, plus p=q=0.25
+    from the node2vec paper's BlogCatalog tuning (the reference's own default
+    is p=q=1.0; 0.25 is the published quality-benchmark setting) — the
+    settings the BASELINE quality-parity claim is defined against
+    (round-3 verdict weak item 5)."""
     from stellar_rw_tpu.graph import datasets
     from stellar_rw_tpu.models import eval as ev
     from stellar_rw_tpu.models import word2vec as w2v
@@ -632,7 +634,10 @@ def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
         "protocol": {"walkLength": wl, "numWalks": nw, "p": 0.25, "q": 0.25,
                      "dim": 128, "window": 10, "iter": iters, "lr": lr,
                      "negatives": 5,
-                     "matches_reference_defaults": protocol == "reference"},
+                     # walkLength/numWalks/dim/window/iter/lr are the
+                     # reference's Params.scala defaults; p=q=0.25 is the
+                     # node2vec-paper BlogCatalog tuning (not a Params default)
+                     "matches_reference_protocol": protocol == "reference"},
         "pipeline_s": round(dt, 1),
         "link_pred_auc": round(float(ev.link_prediction_auc(
             w_in, edges, graph.num_vertices, seed=0)), 4),

@@ -55,6 +55,13 @@ class SGNSConfig:
     #                          logits cross devices via psum — the TPU-idiomatic
     #                          "sharded embedding table" of SURVEY.md §2.3-5)
 
+    def __post_init__(self):
+        # a typo'd shared_impl must error, not silently select another path
+        # (ablation results would be mislabeled — round-4 advisor finding)
+        if self.shared_impl not in ("conv", "pos"):
+            raise ValueError(
+                f"shared_impl must be 'conv' or 'pos', got {self.shared_impl!r}")
+
 
 def _init_embeddings(vocab: int, dim: int, key) -> tuple[jax.Array, jax.Array]:
     """word2vec-style init: input uniform in [-0.5/dim, 0.5/dim), output zeros."""

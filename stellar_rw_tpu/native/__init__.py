@@ -95,6 +95,10 @@ def parse_walks(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     nl = ctypes.c_int64(0)
     nt = lib.srw_parse_walks(c(data), ctypes.c_int64(len(data)), None, None,
                              ctypes.byref(nl))
+    if nt < 0:
+        # same contract as the NumPy fallback: oversized tokens are an error,
+        # never a silent int64 wrap (round-4 advisor finding)
+        raise ValueError("token exceeds 19 digits (int64 overflow)")
     values = np.zeros(nt, dtype=np.int64)
     counts = np.zeros(nl.value, dtype=np.int64)
     if nt:

