@@ -73,7 +73,103 @@ def do_random_walk(params: Params) -> tuple[np.ndarray, "gio.csr.CSRGraph"]:
     return walks, graph
 
 
+def _global_walk_stats(local_rows: np.ndarray):
+    """WalkStats summed across all processes (one tiny allgather): the
+    reference's driver-side accumulators are cluster-global
+    (RandomWalk.scala:155-167); per-process stats alone would under-report."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from .utils.stats import WalkStats, walk_stats
+
+    ws = walk_stats(local_rows) if len(local_rows) else WalkStats(
+        0, 0, 0, 0, 0, 0.0)
+    vec = np.asarray([ws.num_paths, ws.num_steps, ws.full_paths, ws.dead_ends,
+                      ws.isolated_starts], dtype=np.int64)
+    if jax.process_count() > 1:
+        vec = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+    paths = int(vec[0])
+    return WalkStats(
+        num_paths=paths, num_steps=int(vec[1]), full_paths=int(vec[2]),
+        dead_ends=int(vec[3]), isolated_starts=int(vec[4]),
+        mean_length=(int(vec[1]) + paths) / paths if paths else 0.0)
+
+
+def _run_job_multihost(params: Params) -> str:
+    """Multi-host dispatch (jax.process_count() > 1): the product path of
+    `SRW_COORDINATOR=... python -m stellar_rw_tpu` on every host — walks run
+    on the global mesh with each process keeping and WRITING only its own
+    corpus rows, and the trainer consumes the same blocks SPMD (the reference
+    cluster execution, Main.scala:53-62,93,116). Process 0 writes the model /
+    vectors and prints global stats.
+
+    --streaming and walk-round checkpoints are single-host features (the
+    trainer's epoch checkpoints DO work here, written by process 0 and
+    broadcast on resume)."""
+    import jax
+
+    me = jax.process_index()
+    if params.streaming:
+        raise ValueError(
+            "--streaming is not supported in multi-host runs; drop the flag "
+            "(the multi-host corpus is already distributed per process)")
+    from .utils.stats import validate_walks
+
+    if params.cmd in (TaskName.node2vec, TaskName.randomwalk):
+        t0 = time.time()
+        graph, home = _load_graph(params)
+        if me == 0:
+            print(f"vertices: {graph.num_vertices}")
+            print(f"edges: {graph.num_edges}")
+        blocks, diag, num_rows, D = n2v.run_walks_multihost(graph, params, home)
+        local = (np.concatenate([rows[rows[:, 0] >= 0] for _, rows in blocks])
+                 if blocks else np.zeros((0, params.walk_length + 2), np.int32))
+        ws = _global_walk_stats(local)
+        dt = time.time() - t0
+        if me == 0:
+            print(f"walks: {ws.num_paths} paths, {ws.num_steps} steps in "
+                  f"{dt:.2f}s ({ws.num_steps / max(dt, 1e-9):,.0f} steps/s, "
+                  f"{jax.process_count()} processes x "
+                  f"{len(jax.local_devices())} devices)")
+            print(f"Zero Neighbors: {ws.dead_ends}  (isolated starts: "
+                  f"{ws.isolated_starts}, full paths: {ws.full_paths}, "
+                  f"mean length: {ws.mean_length:.1f})")
+            expect = params.num_walks * graph.num_vertices
+            if ws.num_paths != expect:
+                logger.warning("corpus has %d paths, expected numWalks*|V| = "
+                               "%d", ws.num_paths, expect)
+        if params.validate:
+            validate_walks(local, graph)   # every process checks its rows
+            print(f"walk invariants: ok (process {me})")
+        gio.save_walk_blocks(blocks, graph, params.output)
+        if params.cmd == TaskName.node2vec:
+            tokens, w_in, w_out = n2v.embed_walk_blocks(
+                blocks, num_rows, graph, params, num_devices=D)
+            if me == 0:
+                n2v.save_model(params.output, tokens, w_in, w_out, params)
+                gio.save_vectors(np.asarray(tokens), w_in, params.output,
+                                 n2v.output_partitions(params))
+    elif params.cmd == TaskName.embedding:
+        # every host reads the same walks file; the trainer scatters it
+        from .models import word2vec as w2v
+        values, offsets = gio.load_walks_ragged(params.input)
+        corpus, vocab = w2v.corpus_from_ragged(values, offsets)
+        blocks, num_rows = w2v.full_corpus_blocks(corpus)
+        tokens = vocab
+        w_in, w_out = w2v.train_skipgram_multiproc(
+            blocks, num_rows, len(vocab), n2v.sgns_config(params))
+        if me == 0:
+            n2v.save_model(params.output, tokens, w_in, w_out, params)
+            gio.save_vectors(np.asarray(tokens), w_in, params.output,
+                             n2v.output_partitions(params))
+    return params.output
+
+
 def run_job(params: Params) -> str:
+    import jax
+
+    if jax.process_count() > 1:
+        return _run_job_multihost(params)
     if params.cmd == TaskName.node2vec and params.streaming:
         # memory-bounded pipeline: one walk round resident at a time
         graph, home = _load_graph(params)

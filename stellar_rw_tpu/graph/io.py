@@ -163,6 +163,30 @@ def save_walks(walks: np.ndarray, graph: CSRGraph, output: str, partitions: int 
     return out_dir
 
 
+def save_walk_blocks(blocks, graph: CSRGraph, output: str) -> str:
+    """Per-process part files from multi-host local corpus blocks — the
+    executor-writes-its-own-partition shape (reference RandomWalk.scala:234-241
+    repartition/saveAsTextFile: each executor writes its rows; no process ever
+    holds the global corpus).
+
+    Each (global_row_start, rows[n, T]) block becomes part-{start//n:05d}
+    (one file per device, disjoint across processes); padding rows (start slot
+    -1, all-(-1)) are dropped. Reading the part files in name order yields
+    exactly the single-process save_walks row order, so the concatenation of
+    all hosts' files is byte-identical to a single-process single-file save."""
+    out_dir = os.path.join(output, PATH_SUFFIX)
+    os.makedirs(out_dir, exist_ok=True)
+    id_strs = _id_strs(graph.ids)
+    for start, rows in blocks:
+        n = max(len(rows), 1)
+        real = rows[rows[:, 0] >= 0]
+        with open(os.path.join(out_dir, f"part-{start // n:05d}"), "w") as f:
+            if len(real):
+                f.write("\n".join(_walk_lines(real, id_strs)))
+                f.write("\n")
+    return out_dir
+
+
 def save_walks_stream(rounds, total_rows: int, graph: CSRGraph, output: str,
                       partitions: int = 1) -> str:
     """Streaming variant of save_walks: `rounds` yields [W, L+2] blocks in global

@@ -107,6 +107,84 @@ def run_walks(graph: CSRGraph, params: Params,
     return walks
 
 
+def run_walks_multihost(graph: CSRGraph, params: Params,
+                        home: np.ndarray | None = None):
+    """Multi-host walk dispatch (jax.process_count() > 1): the global-mesh
+    sharded engine with per-process corpus blocks — the reference's cluster
+    execution where each executor computes and keeps its own partitions
+    (Main.scala:53-62, RandomWalk.scala:234-241). Every process calls with
+    identical params (SPMD).
+
+    Returns (local_blocks [(global_row_start, rows)], diag, padded_rows,
+    devices_used): blocks tile the padded global corpus
+    [num_walks * W_pad, L+2] across processes; rows whose start slot was
+    padding are all -1."""
+    import jax
+
+    from ..parallel import multihost
+
+    D = params.shards if params.shards > 0 else jax.device_count()
+    D = max(1, min(D, jax.device_count()))
+    lanes = resolve_lanes(D, params.lanes)
+    route = None
+    if params.partitioned and home is not None:
+        route = (home.astype(np.int64) % max(D // lanes, 1)).astype(np.int32)
+    blocks, diag = multihost.multihost_random_walks(
+        graph, walk_length=params.walk_length, num_walks=params.num_walks,
+        p=params.p, q=params.q, seed=params.seed, sampler=params.sampler,
+        num_shards=D, route=route, rng_impl=params.rng_impl, lanes=lanes)
+    W_pad = -(-graph.num_vertices // D) * D
+    return blocks, diag, params.num_walks * W_pad, D
+
+
+def embed_walk_blocks(blocks, num_rows: int, graph: CSRGraph, params: Params,
+                      num_devices: int | None = None):
+    """Multi-process trainer entry: SGNS over per-process corpus blocks with
+    epoch checkpoint/resume. Checkpoints are written by process 0 only; on
+    --resume, process 0 reads the file and broadcasts the state to every
+    process (per-host filesystems may not share <output>), so all replicas
+    restart bit-identical. Returns (tokens, w_in, w_out)."""
+    import jax
+
+    cfg = sgns_config(params)
+    me = jax.process_index()
+    init = None
+    start_epoch = 0
+    ckpt = _checkpoint_path(params.output) if params.output else None
+    if params.resume and ckpt:
+        found = me == 0 and os.path.exists(ckpt)
+        V, dim = graph.num_vertices, params.w2v_dim
+        if found:
+            z = np.load(ckpt)
+            payload = (np.float32(1), np.float32(int(z["epoch"]) + 1),
+                       z["w_in"].astype(np.float32),
+                       z["w_out"].astype(np.float32))
+        else:
+            payload = (np.float32(0), np.float32(0),
+                       np.zeros((V, dim), np.float32),
+                       np.zeros((V, dim), np.float32))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            payload = multihost_utils.broadcast_one_to_all(payload)
+        if float(payload[0]):
+            init = (np.asarray(payload[2]), np.asarray(payload[3]))
+            start_epoch = int(payload[1])
+
+    on_epoch = None
+    if params.checkpoint_every and ckpt and me == 0:
+        os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+
+        def on_epoch(ep, w_in, w_out):
+            if (ep + 1) % params.checkpoint_every == 0:
+                np.savez(ckpt, w_in=w_in, w_out=w_out, epoch=ep)
+
+    w_in, w_out = w2v.train_skipgram_multiproc(
+        blocks, num_rows, graph.num_vertices, cfg,
+        init=init, start_epoch=start_epoch, on_epoch=on_epoch,
+        num_devices=num_devices)
+    return [int(i) for i in graph.ids], w_in, w_out
+
+
 def _round_maker(graph: CSRGraph, params: Params,
                  home: np.ndarray | None = None):
     """Per-round corpus generation setup shared by the streaming pipeline and
