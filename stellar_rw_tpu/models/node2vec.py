@@ -238,8 +238,7 @@ def _round_maker(graph: CSRGraph, params: Params,
                         "factor=%.3f", SH, plan.replication_factor)
             route_host = plan.route
         else:
-            hsg = partition_graph(graph, SH, route,
-                                  build_glob2loc=route is not None)
+            hsg = partition_graph(graph, SH, route)
             distributed.log_shard_stats(hsg)
             arrays, route_dev = distributed.device_put_sharded_graph(hsg, mesh)
             route_host = hsg.route
