@@ -529,6 +529,72 @@ def cpu_mesh_scaling() -> dict | None:
     return _subprocess_json(code)
 
 
+def scaling_phase() -> dict:
+    """BASELINE north-star #2 standing phase (round-4 verdict item 10):
+    the >=80%-linear edges/s scaling table, ready to produce the real number
+    the moment multi-chip hardware exists — `python bench.py --scaling`.
+
+    With >1 real accelerator devices attached (a pod slice), runs the sharded
+    engine at 1, 2, 4, ..., D shards on a per-device-constant workload
+    (weak scaling — the north star's regime: a bigger machine walks a bigger
+    frontier) plus a fixed-total-workload strong-scaling section, reporting
+    walk-steps/s and efficiency vs 1 shard. On this single-chip / CPU
+    environment it degrades to the virtual-CPU-mesh overhead record
+    (cpu_mesh_scaling — a correctness/overhead simulation, NOT a hardware
+    claim)."""
+    code = (
+        "import jax, time, json\n"
+        "import numpy as np\n"
+        "import bench\n"
+        "from stellar_rw_tpu.parallel import distributed\n"
+        "devs = jax.devices()\n"
+        "D = len(devs)\n"
+        "if D < 2 or devs[0].platform == 'cpu':\n"
+        "    print(json.dumps({'degraded_to_cpu_mesh': True}))\n"
+        "    raise SystemExit(0)\n"
+        "g = bench.synth_power_law_graph(100_000, 1_600_000, seed=5)\n"
+        "def run(S, starts=None):\n"
+        "    kw = dict(walk_length=40, num_walks=2, p=0.25, q=0.25, seed=0,\n"
+        "              num_shards=S, starts=starts)\n"
+        "    distributed.distributed_random_walks(g, **kw)  # compile+warm\n"
+        "    t0 = time.time(); w = distributed.distributed_random_walks(g, **kw)\n"
+        "    dt = time.time() - t0\n"
+        "    steps = int((w >= 0).sum() - len(w))\n"
+        "    return steps, dt\n"
+        "shards = [1]\n"
+        "while shards[-1] * 2 <= D: shards.append(shards[-1] * 2)\n"
+        "res = {'devices': D, 'strong': {}, 'weak': {}}\n"
+        "for S in shards:\n"
+        "    steps, dt = run(S)\n"
+        "    res['strong'][str(S)] = {'steps_per_s': round(steps / dt, 1),\n"
+        "                             'run_s': round(dt, 3)}\n"
+        "per_dev = 100_000\n"
+        "for S in shards:\n"
+        "    starts = (np.arange(per_dev * S) % g.num_vertices).astype(np.int32)\n"
+        "    steps, dt = run(S, starts)\n"
+        "    res['weak'][str(S)] = {'steps_per_s': round(steps / dt, 1),\n"
+        "        'steps_per_s_per_device': round(steps / dt / S, 1),\n"
+        "        'run_s': round(dt, 3)}\n"
+        "b_s = res['strong']['1']['steps_per_s']\n"
+        "b_w = res['weak']['1']['steps_per_s_per_device']\n"
+        "for S in shards[1:]:\n"
+        "    res['strong'][str(S)]['efficiency_vs_1'] = round(\n"
+        "        res['strong'][str(S)]['steps_per_s'] / (b_s * S), 3)\n"
+        "    res['weak'][str(S)]['efficiency_vs_1'] = round(\n"
+        "        res['weak'][str(S)]['steps_per_s_per_device'] / b_w, 3)\n"
+        "res['north_star_met'] = all(\n"
+        "    res['weak'][str(S)]['efficiency_vs_1'] >= 0.8 for S in shards[1:])\n"
+        "print(json.dumps(res))\n")
+    # device subprocess (keeps the session's accelerator platform + isolation)
+    out = _device_phase("scaling", code, timeout=3000)
+    if out and out.get("degraded_to_cpu_mesh"):
+        cm = cpu_mesh_scaling()
+        return {"degraded_to_cpu_mesh": True, "cpu_mesh": cm,
+                "note": "single-chip environment: run `python bench.py "
+                        "--scaling` on a pod slice for the real >=80% table"}
+    return out
+
+
 def quality_probe() -> dict:
     """Small planted-community graph -> full node2vec -> link-prediction AUC and
     community classification accuracy (the BASELINE.json quality axis, scaled to
@@ -646,6 +712,81 @@ def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
                 w_in, labels, train_frac=f, seed=0)), 4)
             for f in train_fracs},
     }
+    return out
+
+
+def hs_ablation(V: int = 100_000, protocol: str = "reference") -> dict:
+    """NS-vs-HS quality parity evidence (round-4 verdict missing item 3).
+
+    The reference trains skip-gram + hierarchical softmax (MLlib has no NS
+    mode; /root/reference Main.scala:89-97); this framework's product trainer
+    is SGNS — a sanctioned design change whose contract is QUALITY parity.
+    This phase trains BOTH objectives on the IDENTICAL corpus (same walks,
+    same pair enumeration, same batching convention) at the reference
+    protocol and evaluates them on the same probes, turning "NS >= HS" into a
+    measurement. Run via `python bench.py --hs-ablation [V]`."""
+    from stellar_rw_tpu.graph import datasets
+    from stellar_rw_tpu.models import eval as ev
+    from stellar_rw_tpu.models import hsoftmax as hsx
+    from stellar_rw_tpu.models import word2vec as w2v
+    from stellar_rw_tpu.walk import engine
+
+    graph, labels = datasets.synth_labeled_graph(V, 10 * V, communities=50,
+                                                 seed=3)
+    if protocol == "reference":
+        wl, nw, iters, lr = 80, 10, 10, 0.025
+    else:
+        wl, nw, iters, lr = 40, 5, 3, 0.05
+    t0 = time.time()
+    walks = engine.random_walks(graph, walk_length=wl, num_walks=nw,
+                                p=0.25, q=0.25, seed=1)
+    walks_s = time.time() - t0
+    print(f"# walks done in {walks_s:.0f}s", file=sys.stderr, flush=True)
+    deg = graph.degrees
+    rng = np.random.default_rng(0)
+    m = min(graph.num_edges, 20_000)
+    ei = rng.choice(graph.num_edges, m, replace=False)
+    src_of = np.repeat(np.arange(graph.num_vertices), deg)
+    edges = np.stack([src_of[ei], graph.cols[ei]], 1)
+
+    def probes(w):
+        return {
+            "link_pred_auc": round(float(ev.link_prediction_auc(
+                w, edges, graph.num_vertices, seed=0)), 4),
+            "micro_f1": {
+                str(f): round(float(ev.multilabel_micro_f1(
+                    w, labels, train_frac=f, seed=0)), 4)
+                for f in (0.1, 0.5, 0.9)},
+        }
+
+    out = {
+        "workload": f"labeled synthetic, {V} V / {graph.num_edges} arcs",
+        "protocol": {"walkLength": wl, "numWalks": nw, "p": 0.25, "q": 0.25,
+                     "dim": 128, "window": 10, "iter": iters, "lr": lr,
+                     "matches_reference_protocol": protocol == "reference"},
+        "walks_s": round(walks_s, 1),
+    }
+    t0 = time.time()
+    # row_block 64 for BOTH trainers: the update count per epoch (and thus the
+    # scatter-mean step granularity) must match for a fair objective-only
+    # comparison, and the HS conv block materializes [B, T, 2w, max_code] +
+    # two [B, T, codelen, D] intermediates — 512-row blocks would not fit
+    # VMEM-friendly working sets at dim=128
+    cfg_ns = w2v.SGNSConfig(dim=128, window=10, negatives=5, lr=lr,
+                            iters=iters, seed=1, shared_negatives=128,
+                            row_block=64)
+    w_ns, _ = w2v.train_skipgram(walks, graph.num_vertices, cfg_ns)
+    out["ns"] = {**probes(w_ns), "train_s": round(time.time() - t0, 1)}
+    print(f"# NS done: {out['ns']}", file=sys.stderr, flush=True)
+    t0 = time.time()
+    cfg_hs = w2v.SGNSConfig(dim=128, window=10, lr=lr, iters=iters, seed=1,
+                            row_block=64)
+    syn0 = hsx.train_skipgram_hs(
+        walks, graph.num_vertices, cfg_hs,
+        on_epoch=lambda ep, *_: print(
+            f"# hs epoch {ep} at {time.time() - t0:.0f}s", file=sys.stderr,
+            flush=True))
+    out["hs"] = {**probes(syn0), "train_s": round(time.time() - t0, 1)}
     return out
 
 
@@ -794,5 +935,13 @@ if __name__ == "__main__":
     elif "--quality" in sys.argv:
         proto = "reference" if "--full" in sys.argv else "short"
         print(json.dumps(quality_benchmark(protocol=proto)))
+    elif "--hs-ablation" in sys.argv:
+        i = sys.argv.index("--hs-ablation")
+        v = (int(sys.argv[i + 1]) if len(sys.argv) > i + 1
+             and sys.argv[i + 1].isdigit() else 100_000)
+        proto = "short" if "--short" in sys.argv else "reference"
+        print(json.dumps(hs_ablation(V=v, protocol=proto)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(scaling_phase()))
     else:
         main()
