@@ -285,16 +285,80 @@ def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
     }
 
 
-# Measured random-gather rate of the walk tables on the tunneled v5e chip
-# (2026-08-21 microbench: serialized W-element gathers from an HBM-resident
-# table, 1.49e8 elems/s). TPU gathers are the walk's binding resource — far
-# below the HBM streaming bound — so this is the honest speed-of-light.
-MEASURED_GATHER_ELEMS_PER_S = 1.49e8
+# Fallback per-TRANSACTION random-gather rate of an aligned 16-byte row on
+# the v5e (BASELINE.md gather cost model, 2026-08-21: 14.6 ns/row = 6.8e7
+# rows/s), used only when the live microbench below cannot run. The round-2
+# figure "1.49e8 gathered elems/s" was the SAME physical measurement counted
+# in ELEMENTS of a [*, 2]-row bench (7.2e7 transactions/s x ~2 elems) — the
+# element accounting is retired (round-4 verdict weak item 2: the two SoL
+# models disagreed by exactly that ~2x element-vs-transaction factor).
+ROW16_TRANSACTIONS_PER_S_V5E = 6.8e7
 
 
-def speed_of_light(graph, steps_per_s: float) -> dict:
+def measure_gather_rates(table_mb: int = 64, n: int = 1_000_000,
+                         K: int = 8) -> dict:
+    """Live per-TRANSACTION random-gather microbench on the attached chip:
+    rate of aligned 16 B [*, 4] row gathers and of 4 B single-element gathers
+    from an HBM-resident table (K serialized rounds of n random accesses,
+    scan-chained so rounds cannot overlap; timing is RTT-differenced against
+    a trivial dispatch). These are the walk sampler's binding resource."""
+    import jax
+    import jax.numpy as jnp
+
+    V = table_mb * 2 ** 20 // 16
+    tab4 = (jnp.arange(V * 4, dtype=jnp.int32) & 1023).astype(
+        jnp.float32).reshape(V, 4)
+    key = jax.random.PRNGKey(7)
+    idx = jax.random.randint(key, (K, n), 0, V, dtype=jnp.int32)
+
+    @jax.jit
+    def row4(idx, tab):
+        def body(acc, i):
+            return acc + tab[i].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), idx)
+        return acc
+
+    @jax.jit
+    def elem1(idx, tab):
+        t1 = tab[:, 0]
+
+        def body(acc, i):
+            return acc + t1[i].sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), idx)
+        return acc
+
+    @jax.jit
+    def null(x):
+        return x.sum()
+
+    small = jnp.ones((8,), jnp.float32)
+    float(null(small))
+    t0 = time.time()
+    float(null(small))
+    t_rtt = time.time() - t0
+    out = {"rtt_s": round(t_rtt, 4), "rounds": K, "accesses_per_round": n}
+    for name, fn in (("row16B", row4), ("elem4B", elem1)):
+        float(fn(idx, tab4))                       # compile + warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            float(fn(idx, tab4))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        dev = max(best - t_rtt, 1e-6)
+        out[f"{name}_per_s"] = round(K * n / dev, 1)
+        out[f"{name}_ns"] = round(dev / (K * n) * 1e9, 2)
+    return out
+
+
+def speed_of_light(graph, steps_per_s: float, rates: dict | None = None
+                   ) -> dict:
     """Random-gather traffic per walk step vs (a) HBM bandwidth and (b) the
-    chip's measured random-gather rate.
+    chip's measured random-gather TRANSACTION rate — the single SoL model
+    (round-4 verdict weak item 2: bench.py previously scored against an
+    element-counting rate while BASELINE.md scored against the per-
+    transaction rate; the transaction model is the physical one — the
+    measured cost is per aligned row, with only mild size dependence).
 
     Packed-table rejection sampler per walker per step, dense phase (2 trials),
     round-3 layout (alias4 rows carry both candidate ids; membership is one
@@ -302,30 +366,34 @@ def speed_of_light(graph, steps_per_s: float) -> dict:
     CARRIED across steps):
       hoisted: vmeta[cur] (deg + alias base + bucket base)  -> 1 gather, 16 B
       per trial: alias4 row, membership bucket row          -> 2 gathers, 32 B
-    => >= 5 gathers / >= 80 B of random HBM traffic per step (straggler-tail
-    and uniform generation add to it). A number can be HBM-plausible yet still
-    impossible against the gather rate: gather_sol_ratio is the binding check.
+    => >= 5 transactions / >= 80 B of random HBM traffic per step (straggler-
+    tail and uniform generation add to it). A number can be HBM-plausible yet
+    still impossible against the transaction rate: gather_sol_ratio is the
+    binding check.
     """
     bw, kind = _hbm_bw()
     bytes_per_step = 80.0
     gathers_per_step = 5.0
     implied = steps_per_s * bytes_per_step
     tables = _graph_table_bytes(graph)
+    row_rate = (rates or {}).get("row16B_per_s") or ROW16_TRANSACTIONS_PER_S_V5E
     return {
         "device_kind": kind,
         "hbm_bytes_per_s": bw,
         "est_min_bytes_per_step": bytes_per_step,
         "implied_bytes_per_s": round(implied, 1),
         "hbm_sol_ratio": round(implied / bw, 6),
-        "measured_gather_elems_per_s": MEASURED_GATHER_ELEMS_PER_S,
+        "row16_transactions_per_s": row_rate,
+        "row16_rate_source": "measured live" if rates else "v5e fallback const",
         "est_min_gathers_per_step": gathers_per_step,
         "gather_sol_ratio": round(
-            steps_per_s * gathers_per_step / MEASURED_GATHER_ELEMS_PER_S, 4),
+            steps_per_s * gathers_per_step / row_rate, 4),
         "tables_bytes": tables,
         "tables_fit_vmem": bool(tables <= VMEM_BYTES),
-        "note": ("ratios must be <= ~1 unless tables_fit_vmem; above that the "
-                 "claimed number is implausible (gather_sol_ratio binds first "
-                 "on TPU)"),
+        "note": ("single per-TRANSACTION model (matches BASELINE.md's gather "
+                 "cost table); ratios must be <= ~1 unless tables_fit_vmem — "
+                 "above that the claimed number is implausible "
+                 "(gather_sol_ratio binds first on TPU)"),
     }
 
 
@@ -847,7 +915,13 @@ _WALK_PHASE = (
     "import bench\n"
     "g = bench.synth_power_law_graph({V}, {E}, seed={seed})\n"
     "r = bench.measure_walk_throughput(g, num_walks={nw}, reps={reps})\n"
-    "r['speed_of_light'] = bench.speed_of_light(g, r['steps_per_s_pipelined'])\n"
+    "try:\n"
+    "    rates = bench.measure_gather_rates()\n"
+    "except Exception as e:\n"
+    "    rates = None\n"
+    "r['gather_rates'] = rates\n"
+    "r['speed_of_light'] = bench.speed_of_light(g, r['steps_per_s_pipelined'],"
+    " rates)\n"
     "print(json.dumps(r))\n"
 )
 _SGNS_PHASE = (
