@@ -217,3 +217,36 @@ def test_two_process_cli_node2vec_e2e(karate_path, tmp_path):
                          seed=13)
     w_1p, _ = w2v.train_skipgram_multiproc(blocks, n_rows, W, cfg)
     np.testing.assert_allclose(w_mh, w_1p, rtol=2e-4, atol=1e-6)
+
+
+def test_two_process_cli_embedding(karate_path, tmp_path):
+    """--cmd embedding multi-host: every host reads the same walks file, the
+    trainer scatters it SPMD; vectors match the same trainer single-process."""
+    from stellar_rw_tpu import cli
+    from stellar_rw_tpu.graph import io as gio
+    from stellar_rw_tpu.models import node2vec as n2v
+    from stellar_rw_tpu.models import word2vec as w2v
+    from stellar_rw_tpu.utils import config
+
+    # produce a walks file once (single-process)
+    stage1 = tmp_path / "stage1"
+    cli.run_job(config.parse(
+        ["--cmd", "randomwalk", "--input", karate_path, "--output",
+         str(stage1), "--walkLength", "6", "--numWalks", "2",
+         "--weighted", "false"]))
+    out_mh = tmp_path / "emb"
+    args = ["--cmd", "embedding", "--input", str(stage1 / "path"),
+            "--output", str(out_mh), "--dim", "8", "--iter", "2",
+            "--window", "3", "--seed", "5"]
+    _run_two_process_cli(args)
+    tokens, w_mh, _ = n2v.load_model(str(out_mh))
+    assert len(tokens) == 34
+
+    values, offsets = gio.load_walks_ragged(str(stage1 / "path"))
+    corpus, vocab = w2v.corpus_from_ragged(values, offsets)
+    blocks, n_rows = w2v.full_corpus_blocks(corpus)
+    cfg = w2v.SGNSConfig(dim=8, window=3, negatives=5, lr=0.025, iters=2,
+                         seed=5)
+    w_1p, _ = w2v.train_skipgram_multiproc(blocks, n_rows, len(vocab), cfg)
+    np.testing.assert_allclose(w_mh, w_1p, rtol=2e-4, atol=1e-6)
+    assert [int(t) for t in tokens] == vocab
