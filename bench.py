@@ -932,6 +932,18 @@ _QUALITY_PHASE = (
     "import bench\n"
     "print(json.dumps(bench.quality_probe()))\n"
 )
+_CHUNKED_PHASE = (
+    "import time, bench\n"
+    "from stellar_rw_tpu.walk import engine\n"
+    "g = bench.synth_power_law_graph(10_000, 334_000, seed=0)\n"
+    "t0 = time.time()\n"
+    "w = engine.random_walks(g, walk_length=10, num_walks=1, p=100.0, q=1.0,"
+    " seed=3)\n"
+    "steps = int((w >= 0).sum() - len(w))\n"
+    "print(json.dumps({'completed': True, 'steps': steps,"
+    " 's': round(time.time() - t0, 1),"
+    " 'sampler': 'chunked exact-CDF (extreme p/q, bias ratio > 32)'}))\n"
+)
 
 
 def main() -> None:
@@ -961,6 +973,14 @@ def main() -> None:
     _device_phase(
         "walk_1m_hbm",
         _WALK_PHASE.format(V=hbm_v, E=16 * hbm_v, seed=1, nw=1, reps=2))
+    # chunked exact-CDF on-device revalidation, LAST and un-retried: this
+    # program class (while_loop of windowed row gathers) crashes the current
+    # tunneled TPU worker (environment fault pinned by the round-4 bisect —
+    # the unchanged round-3 commit crashes on its previously-passing
+    # workload); the standing phase re-validates automatically the moment the
+    # worker recovers, and its own subprocess contains any crash.
+    _device_phase("chunked_cdf_validation", _CHUNKED_PHASE, timeout=300,
+                  retries=0)
     _phase("cpu_mesh_scaling", cpu_mesh_scaling)
     cpu_steps = _phase("cpu_2core_steps_per_s", cpu_reference_steps_per_s)
     # 2-core host -> x8 approximates the 16-core Spark host; x10 = the target
