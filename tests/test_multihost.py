@@ -250,3 +250,27 @@ def test_two_process_cli_embedding(karate_path, tmp_path):
     w_1p, _ = w2v.train_skipgram_multiproc(blocks, n_rows, len(vocab), cfg)
     np.testing.assert_allclose(w_mh, w_1p, rtol=2e-4, atol=1e-6)
     assert [int(t) for t in tokens] == vocab
+
+
+def test_two_process_cli_partitioned_vcut(karate_path, tmp_path):
+    """--partitioned true multi-host: explicit VCut home routing through the
+    compact packed-route path, per-process output still merging to the
+    single-process corpus byte-for-byte."""
+    from stellar_rw_tpu import cli
+    from stellar_rw_tpu.utils import config
+
+    part_file = tmp_path / "karate_part.txt"
+    with open(karate_path) as f, open(part_file, "w") as g:
+        for line in f:
+            toks = line.split()
+            if len(toks) >= 2:
+                g.write(f"{toks[0]} {toks[1]} {int(toks[0]) % 3}\n")
+    args = ["--cmd", "randomwalk", "--input", str(part_file),
+            "--walkLength", "6", "--numWalks", "2", "--weighted", "false",
+            "--seed", "4", "--partitioned", "true", "--shards", "8"]
+    out_mh = tmp_path / "mh"
+    _run_two_process_cli(args + ["--output", str(out_mh)])
+    out_1p = tmp_path / "single"
+    cli.run_job(config.parse(args + ["--output", str(out_1p)]))
+    assert _merged_path_output(out_mh) == \
+        open(out_1p / "path" / "part-00000").read()
