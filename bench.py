@@ -783,7 +783,8 @@ def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
     return out
 
 
-def hs_ablation(V: int = 100_000, protocol: str = "reference") -> dict:
+def hs_ablation(V: int = 100_000, protocol: str = "reference",
+                row_block: int = 256) -> dict:
     """NS-vs-HS quality parity evidence (round-4 verdict missing item 3).
 
     The reference trains skip-gram + hierarchical softmax (MLlib has no NS
@@ -835,20 +836,21 @@ def hs_ablation(V: int = 100_000, protocol: str = "reference") -> dict:
         "walks_s": round(walks_s, 1),
     }
     t0 = time.time()
-    # row_block 64 for BOTH trainers: the update count per epoch (and thus the
-    # scatter-mean step granularity) must match for a fair objective-only
-    # comparison, and the HS conv block materializes [B, T, 2w, max_code] +
-    # two [B, T, codelen, D] intermediates — 512-row blocks would not fit
-    # VMEM-friendly working sets at dim=128
+    # the SAME row_block for BOTH trainers: the update count per epoch (and
+    # thus the scatter-mean step granularity) must match for a fair
+    # objective-only comparison. 256 default: the HS conv block materializes
+    # [B, T, 2w, max_code] + two [B, T, codelen, D] intermediates (~1 GB at
+    # B=256/dim=128), and scans beyond ~10K iterations have crashed this
+    # environment's TPU worker (the known long-program kernel-fault mode).
     cfg_ns = w2v.SGNSConfig(dim=128, window=10, negatives=5, lr=lr,
                             iters=iters, seed=1, shared_negatives=128,
-                            row_block=64)
+                            row_block=row_block)
     w_ns, _ = w2v.train_skipgram(walks, graph.num_vertices, cfg_ns)
     out["ns"] = {**probes(w_ns), "train_s": round(time.time() - t0, 1)}
     print(f"# NS done: {out['ns']}", file=sys.stderr, flush=True)
     t0 = time.time()
     cfg_hs = w2v.SGNSConfig(dim=128, window=10, lr=lr, iters=iters, seed=1,
-                            row_block=64)
+                            row_block=row_block)
     syn0 = hsx.train_skipgram_hs(
         walks, graph.num_vertices, cfg_hs,
         on_epoch=lambda ep, *_: print(
@@ -1034,7 +1036,8 @@ if __name__ == "__main__":
         v = (int(sys.argv[i + 1]) if len(sys.argv) > i + 1
              and sys.argv[i + 1].isdigit() else 100_000)
         proto = "short" if "--short" in sys.argv else "reference"
-        print(json.dumps(hs_ablation(V=v, protocol=proto)))
+        rb = int(os.environ.get("HS_ROW_BLOCK", 256))
+        print(json.dumps(hs_ablation(V=v, protocol=proto, row_block=rb)))
     elif "--scaling" in sys.argv:
         print(json.dumps(scaling_phase()))
     else:

@@ -113,6 +113,10 @@ def _run_job_multihost(params: Params) -> str:
         raise ValueError(
             "--streaming is not supported in multi-host runs; drop the flag "
             "(the multi-host corpus is already distributed per process)")
+    if params.checkpoint_every:
+        logger.warning("multi-host: walk-round checkpoints are single-host "
+                       "only and are skipped; trainer epoch checkpoints "
+                       "still apply (written by process 0)")
     from .utils.stats import validate_walks
 
     if params.cmd in (TaskName.node2vec, TaskName.randomwalk):
@@ -122,6 +126,9 @@ def _run_job_multihost(params: Params) -> str:
             print(f"vertices: {graph.num_vertices}")
             print(f"edges: {graph.num_edges}")
         blocks, diag, num_rows, D = n2v.run_walks_multihost(graph, params, home)
+        if me == 0:
+            from .parallel.distributed import log_superstep_diag
+            log_superstep_diag(diag)   # diag is psum'd -> global counters
         local = (np.concatenate([rows[rows[:, 0] >= 0] for _, rows in blocks])
                  if blocks else np.zeros((0, params.walk_length + 2), np.int32))
         ws = _global_walk_stats(local)
