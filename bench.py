@@ -655,7 +655,11 @@ def scaling_phase() -> dict:
         "print(json.dumps(res))\n")
     # device subprocess (keeps the session's accelerator platform + isolation)
     out = _device_phase("scaling", code, timeout=3000)
-    if out and out.get("degraded_to_cpu_mesh"):
+    if out is None:
+        # surface the failure detail instead of printing a bare null
+        return {"ERROR": PARTIAL.get("scaling",
+                                     {"ERROR": "scaling phase failed"})}
+    if out.get("degraded_to_cpu_mesh"):
         cm = cpu_mesh_scaling()
         return {"degraded_to_cpu_mesh": True, "cpu_mesh": cm,
                 "note": "single-chip environment: run `python bench.py "
@@ -784,7 +788,8 @@ def quality_benchmark(data_dir: str | None = None, V: int = 100_000,
 
 
 def hs_ablation(V: int = 100_000, protocol: str = "reference",
-                row_block: int = 256) -> dict:
+                row_block: int = 256, hs_row_block: int | None = None,
+                skip_ns: bool = False, skip_hs: bool = False) -> dict:
     """NS-vs-HS quality parity evidence (round-4 verdict missing item 3).
 
     The reference trains skip-gram + hierarchical softmax (MLlib has no NS
@@ -842,21 +847,29 @@ def hs_ablation(V: int = 100_000, protocol: str = "reference",
     # [B, T, 2w, max_code] + two [B, T, codelen, D] intermediates (~1 GB at
     # B=256/dim=128), and scans beyond ~10K iterations have crashed this
     # environment's TPU worker (the known long-program kernel-fault mode).
-    cfg_ns = w2v.SGNSConfig(dim=128, window=10, negatives=5, lr=lr,
-                            iters=iters, seed=1, shared_negatives=128,
-                            row_block=row_block)
-    w_ns, _ = w2v.train_skipgram(walks, graph.num_vertices, cfg_ns)
-    out["ns"] = {**probes(w_ns), "train_s": round(time.time() - t0, 1)}
-    print(f"# NS done: {out['ns']}", file=sys.stderr, flush=True)
+    if not skip_ns:
+        cfg_ns = w2v.SGNSConfig(dim=128, window=10, negatives=5, lr=lr,
+                                iters=iters, seed=1, shared_negatives=128,
+                                row_block=row_block)
+        w_ns, _ = w2v.train_skipgram(walks, graph.num_vertices, cfg_ns)
+        train_s = round(time.time() - t0, 1)   # probes excluded (they cost
+        #                                        minutes at V=100K themselves)
+        out["ns"] = {**probes(w_ns), "train_s": train_s,
+                     "row_block": row_block}
+        print(f"# NS done: {out['ns']}", file=sys.stderr, flush=True)
+    if skip_hs:
+        return out
     t0 = time.time()
     cfg_hs = w2v.SGNSConfig(dim=128, window=10, lr=lr, iters=iters, seed=1,
-                            row_block=row_block)
+                            row_block=hs_row_block or row_block)
     syn0 = hsx.train_skipgram_hs(
         walks, graph.num_vertices, cfg_hs,
         on_epoch=lambda ep, *_: print(
             f"# hs epoch {ep} at {time.time() - t0:.0f}s", file=sys.stderr,
             flush=True))
-    out["hs"] = {**probes(syn0), "train_s": round(time.time() - t0, 1)}
+    train_s = round(time.time() - t0, 1)
+    out["hs"] = {**probes(syn0), "train_s": train_s,
+                 "row_block": hs_row_block or row_block}
     return out
 
 
@@ -1037,7 +1050,11 @@ if __name__ == "__main__":
              and sys.argv[i + 1].isdigit() else 100_000)
         proto = "short" if "--short" in sys.argv else "reference"
         rb = int(os.environ.get("HS_ROW_BLOCK", 256))
-        print(json.dumps(hs_ablation(V=v, protocol=proto, row_block=rb)))
+        hrb = int(os.environ.get("HS_HS_ROW_BLOCK", 0)) or None
+        print(json.dumps(hs_ablation(
+            V=v, protocol=proto, row_block=rb, hs_row_block=hrb,
+            skip_ns="HS_SKIP_NS" in os.environ,
+            skip_hs="HS_SKIP_HS" in os.environ)))
     elif "--scaling" in sys.argv:
         print(json.dumps(scaling_phase()))
     else:

@@ -87,7 +87,13 @@ def _global_walk_stats(local_rows: np.ndarray):
     vec = np.asarray([ws.num_paths, ws.num_steps, ws.full_paths, ws.dead_ends,
                       ws.isolated_starts], dtype=np.int64)
     if jax.process_count() > 1:
-        vec = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+        # gather as (hi, lo) uint32 halves: without x64 (the production
+        # default) jax would silently truncate int64 payloads to int32, and
+        # per-host step counts exceed 2^31 at production scale
+        halves = np.stack([vec >> 32, vec & 0xFFFFFFFF]).astype(np.uint32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(halves)).astype(np.int64)
+        vec = ((gathered[:, 0] << 32) | gathered[:, 1]).sum(axis=0)
     paths = int(vec[0])
     return WalkStats(
         num_paths=paths, num_steps=int(vec[1]), full_paths=int(vec[2]),
@@ -151,20 +157,24 @@ def _run_job_multihost(params: Params) -> str:
         gio.save_walk_blocks(blocks, graph, params.output)
         if params.cmd == TaskName.node2vec:
             tokens, w_in, w_out = n2v.embed_walk_blocks(
-                blocks, num_rows, graph, params, num_devices=D)
+                blocks, num_rows, graph, params, num_devices=D,
+                row_width=params.walk_length + 2)
             if me == 0:
                 n2v.save_model(params.output, tokens, w_in, w_out, params)
                 gio.save_vectors(np.asarray(tokens), w_in, params.output,
                                  n2v.output_partitions(params))
     elif params.cmd == TaskName.embedding:
-        # every host reads the same walks file; the trainer scatters it
+        # every host reads the same walks file; the trainer scatters it.
+        # Trainer epoch checkpoints apply here too (written by process 0,
+        # broadcast on --resume) — same wiring as the node2vec path.
         from .models import word2vec as w2v
         values, offsets = gio.load_walks_ragged(params.input)
         corpus, vocab = w2v.corpus_from_ragged(values, offsets)
         blocks, num_rows = w2v.full_corpus_blocks(corpus)
         tokens = vocab
-        w_in, w_out = w2v.train_skipgram_multiproc(
-            blocks, num_rows, len(vocab), n2v.sgns_config(params))
+        w_in, w_out = n2v.train_multiproc_with_ckpt(
+            blocks, num_rows, len(vocab), params,
+            row_width=corpus.shape[1] if corpus.size else 1)
         if me == 0:
             n2v.save_model(params.output, tokens, w_in, w_out, params)
             gio.save_vectors(np.asarray(tokens), w_in, params.output,

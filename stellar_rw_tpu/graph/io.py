@@ -177,8 +177,14 @@ def save_walk_blocks(blocks, graph: CSRGraph, output: str) -> str:
     out_dir = os.path.join(output, PATH_SUFFIX)
     os.makedirs(out_dir, exist_ok=True)
     id_strs = _id_strs(graph.ids)
+    # part naming assumes the global tiling is uniform (every device holds the
+    # same row count) — enforce it so a non-uniform caller fails loudly
+    # instead of silently colliding/mis-ordering part names
+    sizes = {len(rows) for _, rows in blocks}
+    assert len(sizes) <= 1, f"blocks must be uniform, got sizes {sizes}"
     for start, rows in blocks:
         n = max(len(rows), 1)
+        assert start % n == 0, (start, n)
         real = rows[rows[:, 0] >= 0]
         with open(os.path.join(out_dir, f"part-{start // n:05d}"), "w") as f:
             if len(real):
@@ -280,6 +286,10 @@ def _parse_uint_lines(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(lengths[:-1], out=bounds[1:])
     values = np.add.reduceat(contrib, bounds) if len(bounds) else \
         np.zeros(0, np.int64)
+    if len(values) and values.min() < 0:
+        # a 19-digit token above 2^63-1 wraps negative in the int64 sum —
+        # error like the >19-digit case (same contract as the native parser)
+        raise ValueError("token exceeds int64 range")
     # tokens per line: token starts before each newline (+ the final tail)
     nl = idx[data == 10]
     cum_at_nl = np.searchsorted(start_pos, nl)

@@ -116,15 +116,22 @@ def _hs_epoch(syn0, syn1, corpus, points, labels, pmask, key,
         lbl = labels[tok].reshape(B, T, Lc)
         pmk = pmask[tok].reshape(B, T, Lc)
         vo = syn1[pts.reshape(-1)].reshape(B, T, Lc, D)   # [B, T, L, D]
-        xs_ = jnp.stack([_shift(ein, d) for d in offs], axis=2)  # [B,T,2w,D]
-        logits = jnp.einsum("btwd,btld->btwl", xs_, vo,
-                            preferred_element_type=jnp.float32)
-        g = (jax.nn.sigmoid(logits) - lbl[:, :, None, :]) \
-            * vf[..., None] * pmk[:, :, None, :]          # [B, T, 2w, L]
-        d_vo = jnp.einsum("btwl,btwd->btld", g, xs_,
-                          preferred_element_type=jnp.float32)
-        d_x = jnp.einsum("btwl,btld->btwd", g, vo,
-                         preferred_element_type=jnp.float32)
+        # per-offset accumulation: 2w sequential [B,T,*] einsum passes instead
+        # of one stacked [B,T,2w,L/D] program — same math (fp order differs),
+        # bounded temporaries (the stacked form's ~0.3-1 GB intermediates
+        # reproducibly crash this environment's TPU worker)
+        d_vo = jnp.zeros_like(vo)
+        acc0 = jnp.zeros_like(ein)
+        for i, d in enumerate(offs):
+            xd = _shift(ein, d)                           # [B, T, D]
+            logits = jnp.einsum("btd,btld->btl", xd, vo,
+                                preferred_element_type=jnp.float32)
+            g = (jax.nn.sigmoid(logits) - lbl) \
+                * vf[..., i, None] * pmk                  # [B, T, L]
+            d_vo = d_vo + g[..., None] * xd[:, :, None, :]
+            d_x = jnp.einsum("btl,btld->btd", g, vo,
+                             preferred_element_type=jnp.float32)
+            acc0 = acc0 + _shift(d_x, -d)
 
         N = B * T
         vcnt = jnp.sum(vf, axis=-1)                       # pairs per center
@@ -137,9 +144,6 @@ def _hs_epoch(syn0, syn1, corpus, points, labels, pmask, key,
         syn1 = syn1.at[ptsf].add(
             -lr * d_vo.reshape(N * Lc, D)
             / jnp.maximum(cnt1, 1.0)[ptsf][:, None], mode="drop")
-        # syn0 (context-word) scatter-mean: back-shift each offset's gradient
-        # into the context position
-        acc0 = sum(_shift(d_x[:, :, i], -d) for i, d in enumerate(offs))
         cnt0_pos = sum(_shift(vf[..., i], -d)
                        for i, d in enumerate(offs)).reshape(N)
         cnt0 = jnp.zeros((syn0.shape[0],), jnp.float32).at[tok].add(

@@ -123,8 +123,17 @@ def run_walks_multihost(graph: CSRGraph, params: Params,
 
     from ..parallel import multihost
 
-    D = params.shards if params.shards > 0 else jax.device_count()
-    D = max(1, min(D, jax.device_count()))
+    # multi-host always spans ALL global devices: a sub-mesh would leave some
+    # processes with no addressable shards — their empty uploads / divergent
+    # shapes crash or deadlock the SPMD program. --shards therefore only
+    # rescales DOWN the graph-shard count via --lanes; a mismatched value is
+    # honored as closely as possible and logged.
+    D = jax.device_count()
+    if params.shards > 0 and params.shards != D:
+        logger.warning(
+            "multi-host runs use all %d global devices; --shards %d is "
+            "ignored (use --lanes to reduce the graph-shard count)",
+            D, params.shards)
     lanes = resolve_lanes(D, params.lanes)
     route = None
     if params.partitioned and home is not None:
@@ -137,13 +146,15 @@ def run_walks_multihost(graph: CSRGraph, params: Params,
     return blocks, diag, params.num_walks * W_pad, D
 
 
-def embed_walk_blocks(blocks, num_rows: int, graph: CSRGraph, params: Params,
-                      num_devices: int | None = None):
-    """Multi-process trainer entry: SGNS over per-process corpus blocks with
-    epoch checkpoint/resume. Checkpoints are written by process 0 only; on
-    --resume, process 0 reads the file and broadcasts the state to every
-    process (per-host filesystems may not share <output>), so all replicas
-    restart bit-identical. Returns (tokens, w_in, w_out)."""
+def train_multiproc_with_ckpt(blocks, num_rows: int, vocab_size: int,
+                              params: Params,
+                              num_devices: int | None = None,
+                              row_width: int | None = None):
+    """Multi-process trainer with epoch checkpoint/resume, shared by the
+    node2vec and embedding multi-host paths. Checkpoints are written by
+    process 0 only; on --resume, process 0 reads the file and broadcasts the
+    state to every process (per-host filesystems may not share <output>), so
+    all replicas restart bit-identical. Returns (w_in, w_out)."""
     import jax
 
     cfg = sgns_config(params)
@@ -153,7 +164,7 @@ def embed_walk_blocks(blocks, num_rows: int, graph: CSRGraph, params: Params,
     ckpt = _checkpoint_path(params.output) if params.output else None
     if params.resume and ckpt:
         found = me == 0 and os.path.exists(ckpt)
-        V, dim = graph.num_vertices, params.w2v_dim
+        V, dim = vocab_size, params.w2v_dim
         if found:
             z = np.load(ckpt)
             payload = (np.float32(1), np.float32(int(z["epoch"]) + 1),
@@ -178,10 +189,20 @@ def embed_walk_blocks(blocks, num_rows: int, graph: CSRGraph, params: Params,
             if (ep + 1) % params.checkpoint_every == 0:
                 np.savez(ckpt, w_in=w_in, w_out=w_out, epoch=ep)
 
-    w_in, w_out = w2v.train_skipgram_multiproc(
-        blocks, num_rows, graph.num_vertices, cfg,
+    return w2v.train_skipgram_multiproc(
+        blocks, num_rows, vocab_size, cfg,
         init=init, start_epoch=start_epoch, on_epoch=on_epoch,
-        num_devices=num_devices)
+        num_devices=num_devices, row_width=row_width)
+
+
+def embed_walk_blocks(blocks, num_rows: int, graph: CSRGraph, params: Params,
+                      num_devices: int | None = None,
+                      row_width: int | None = None):
+    """Multi-process trainer entry for the node2vec path: SGNS over
+    per-process corpus blocks. Returns (tokens, w_in, w_out)."""
+    w_in, w_out = train_multiproc_with_ckpt(
+        blocks, num_rows, graph.num_vertices, params,
+        num_devices=num_devices, row_width=row_width)
     return [int(i) for i in graph.ids], w_in, w_out
 
 

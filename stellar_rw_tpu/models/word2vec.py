@@ -694,6 +694,7 @@ def train_skipgram_multiproc(
     start_epoch: int = 0,
     on_epoch=None,
     num_devices: int | None = None,
+    row_width: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-process SGNS over a corpus that no process holds in full — the
     cluster-wide Word2Vec training of the reference (Main.scala:93,116), SPMD
@@ -721,7 +722,12 @@ def train_skipgram_multiproc(
     D = num_devices or jax.device_count()
     assert num_rows % D == 0, (num_rows, D)
     n = num_rows // D
-    T = blocks[0][1].shape[1] if blocks else 0
+    # row_width must be GLOBALLY consistent: a process whose devices hold no
+    # corpus blocks (possible with a sub-mesh) cannot derive it from its
+    # (empty) block list — SPMD shape divergence would crash or deadlock
+    T = row_width if row_width is not None else (
+        blocks[0][1].shape[1] if blocks else 0)
+    assert T > 0, "row_width is required on processes that hold no corpus blocks"
     # per-device block size must tile the device's rows exactly; stay close to
     # the single-process rule (global rows per merged update ~ cfg.row_block)
     B = _divisor_block(n, max(1, -(-cfg.row_block // D)))

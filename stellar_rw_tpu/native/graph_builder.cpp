@@ -355,19 +355,22 @@ void srw_hash_free(void* h) { delete static_cast<HashResult*>(h); }
 int64_t srw_parse_walks(const uint8_t* data, int64_t n, int64_t* out_values,
                         int64_t* out_counts, int64_t* n_lines) {
   int64_t nt = 0, nl = 0, line_toks = 0;
-  int64_t cur = 0;
+  // unsigned accumulate (defined overflow) + explicit INT64_MAX check: a
+  // 19-digit token above 2^63-1 must error, never wrap (the >19-digit check
+  // alone would let e.g. 9999999999999999999 silently go negative)
+  uint64_t cur = 0;
   int digits = 0;
   bool in_tok = false;
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t c = data[i];
     if (c >= '0' && c <= '9') {
-      cur = in_tok ? cur * 10 + (c - '0') : (c - '0');
+      cur = in_tok ? cur * 10 + (c - '0') : uint64_t(c - '0');
       digits = in_tok ? digits + 1 : 1;
       in_tok = true;
-      if (digits > 19) return -1;
+      if (digits > 19 || cur > uint64_t(INT64_MAX)) return -1;
     } else {
       if (in_tok) {
-        if (out_values) out_values[nt] = cur;
+        if (out_values) out_values[nt] = int64_t(cur);
         ++nt;
         ++line_toks;
         in_tok = false;
@@ -380,7 +383,7 @@ int64_t srw_parse_walks(const uint8_t* data, int64_t n, int64_t* out_values,
     }
   }
   if (in_tok) {
-    if (out_values) out_values[nt] = cur;
+    if (out_values) out_values[nt] = int64_t(cur);
     ++nt;
     ++line_toks;
   }

@@ -155,28 +155,32 @@ class JobServer:
 
         def work_subprocess():
             with self._run_slots:
-                proc = subprocess.Popen(
-                    [sys.executable, "-m", "stellar_rw_tpu"] + list(argv),
-                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                    text=True, start_new_session=True)
                 try:
-                    _, err = proc.communicate(timeout=self.job_timeout)
-                except subprocess.TimeoutExpired:
-                    try:  # a wedged PJRT client ignores SIGTERM: kill the group
-                        os.killpg(proc.pid, signal.SIGKILL)
-                    except Exception:
-                        proc.kill()
-                    proc.communicate()
-                    job.error = (f"TIMEOUT: worker killed after "
-                                 f"{self.job_timeout:.0f}s")
-                    job.status = "ERROR"
-                    return
-                if proc.returncode == 0:
-                    job.result = params.output
-                    job.status = "FINISHED"
-                else:
-                    job.error = (f"worker exited rc={proc.returncode}: "
-                                 f"{err[-1000:]}")
+                    proc = subprocess.Popen(
+                        [sys.executable, "-m", "stellar_rw_tpu"] + list(argv),
+                        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                        text=True, start_new_session=True)
+                    try:
+                        _, err = proc.communicate(timeout=self.job_timeout)
+                    except subprocess.TimeoutExpired:
+                        try:  # wedged PJRT clients ignore SIGTERM: kill group
+                            os.killpg(proc.pid, signal.SIGKILL)
+                        except Exception:
+                            proc.kill()
+                        proc.communicate()
+                        job.error = (f"TIMEOUT: worker killed after "
+                                     f"{self.job_timeout:.0f}s")
+                        job.status = "ERROR"
+                        return
+                    if proc.returncode == 0:
+                        job.result = params.output
+                        job.status = "FINISHED"
+                    else:
+                        job.error = (f"worker exited rc={proc.returncode}: "
+                                     f"{err[-1000:]}")
+                        job.status = "ERROR"
+                except Exception as e:  # Popen/communicate failure must not
+                    job.error = f"{type(e).__name__}: {e}"   # strand the job
                     job.status = "ERROR"
 
         def work_inproc():
