@@ -848,14 +848,15 @@ def hs_ablation(V: int = 100_000, protocol: str = "reference",
     # B=256/dim=128), and scans beyond ~10K iterations have crashed this
     # environment's TPU worker (the known long-program kernel-fault mode).
     if not skip_ns:
+        shared = 0 if os.environ.get("HS_NS_EXACT") else 128
         cfg_ns = w2v.SGNSConfig(dim=128, window=10, negatives=5, lr=lr,
-                                iters=iters, seed=1, shared_negatives=128,
+                                iters=iters, seed=1, shared_negatives=shared,
                                 row_block=row_block)
         w_ns, _ = w2v.train_skipgram(walks, graph.num_vertices, cfg_ns)
         train_s = round(time.time() - t0, 1)   # probes excluded (they cost
         #                                        minutes at V=100K themselves)
         out["ns"] = {**probes(w_ns), "train_s": train_s,
-                     "row_block": row_block}
+                     "row_block": row_block, "shared_negatives": shared}
         print(f"# NS done: {out['ns']}", file=sys.stderr, flush=True)
     if skip_hs:
         return out

@@ -181,8 +181,8 @@ def train_skipgram_hs(corpus: np.ndarray, vocab_size: int, cfg: SGNSConfig,
     lbl = jnp.asarray(labels)
     pmk = jnp.asarray(pmask)
     key = jax.random.PRNGKey(cfg.seed)
-    syn0, _unused = _init_embeddings(vocab_size, cfg.dim,
-                                     jax.random.fold_in(key, 0x1A17))
+    syn0, _ = _init_embeddings(vocab_size, cfg.dim,
+                               jax.random.fold_in(key, 0x1A17))
     syn1 = jnp.zeros((max(vocab_size - 1, 1), cfg.dim), jnp.float32)
     lr_lo = cfg.lr * cfg.min_lr_frac
     for ep in range(cfg.iters):
