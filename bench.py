@@ -236,9 +236,12 @@ def measure_walk_throughput(graph, walk_length=80, p=0.25, q=0.25,
 
     @partial(jax.jit, static_argnames=("spec", "R"))
     def corpus_ck(g, starts, key, acc, spec, R):
-        out = engine.walk_corpus(g, starts, key, spec, R)
+        out, ovf = engine.walk_corpus(g, starts, key, spec, R)
         w = jnp.arange(out.shape[1], dtype=jnp.int64) + 1
-        return acc + jnp.sum(out.astype(jnp.int64) * w[None, :])
+        # fold the overflow counter in: a static-schedule overflow (never
+        # observed at bench capacities) would show up as a checksum change
+        return acc + jnp.sum(out.astype(jnp.int64) * w[None, :]) \
+            + ovf.astype(jnp.int64)
 
     zero = jnp.int64(0)
     jax.block_until_ready(zero)

@@ -273,16 +273,30 @@ def _round_maker(graph: CSRGraph, params: Params,
         C = max(1, min(C, W_pad // S))
 
         def make_round(r: int):
-            paths, _diag = distributed.distributed_walk_corpus(
+            paths, diag = distributed.distributed_walk_corpus(
                 arrays, route_dev, starts_dev, base, np.int32(r), spec,
                 num_walks=1, S=SH, C=C, mesh=mesh, L=L)
+            if int(np.asarray(diag)[:, 3].sum()):
+                # static-cascade overflow: re-run this round dynamically
+                paths, _ = distributed.distributed_walk_corpus(
+                    arrays, route_dev, starts_dev, base, np.int32(r),
+                    spec._replace(schedule="dynamic"),
+                    num_walks=1, S=SH, C=C, mesh=mesh, L=L)
             return paths[:V]
     else:
         dg = sampling.device_put_graph(graph)
         starts = jnp.arange(V, dtype=jnp.int32)
 
         def make_round(r: int):
-            return engine.walk_corpus(dg, starts, base, spec, 1, np.int32(r))
+            paths, ovf = engine.walk_corpus(dg, starts, base, spec, 1,
+                                            np.int32(r))
+            if int(np.asarray(ovf)):
+                # static-cascade capacity exceeded: this round must re-run on
+                # the dynamic schedule (full trial budget; see engine docs)
+                paths, _ = engine.walk_corpus(
+                    dg, starts, base, spec._replace(schedule="dynamic"), 1,
+                    np.int32(r))
+            return paths
 
     return make_round, V
 

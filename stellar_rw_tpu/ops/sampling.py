@@ -678,6 +678,246 @@ DENSE_TRIALS = 2      # full-width trials before straggler compaction
 TAIL_K = 2            # trials per compacted tail round
 TAIL_FRAC = 16        # tail buffer = walkers / TAIL_FRAC (floor 256)
 
+# Static-cascade schedule (rejection_sample_static): compaction levels as
+# (width divisor, trials); the LAST level's trial count is ignored — it runs
+# whatever remains of the max_rounds*k_candidates budget. Widths scale with
+# the batch (W // divisor, floored) because straggler counts do: survivors of
+# the dense phase are acceptance-BIASED (walkers in member-heavy
+# neighborhoods persist at ~min-class rates, not iid), so each level keeps a
+# ~4x margin over the rates measured on power-law graphs at p=q=0.25
+# (2.7% after the dense phase, ~0.5% after +4 trials, ~0.02% after +14).
+# Overflow is counted, not lost: callers re-dispatch on the dynamic schedule.
+STATIC_LEVELS = ((16, 4), (128, 10), (1024, 0))
+STATIC_S_FLOOR = 256  # per-level width floor (tests shrink it to force overflow)
+
+
+def _make_trial(g: DeviceGraph, p: float, q: float, max_f: float,
+                packed: bool):
+    """Build the one-trial closure shared by both rejection samplers.
+
+    trial(u3, rs, rd, hb, hm, pi) -> (candidate, accept), vectorized over ANY
+    leading shape — the static cascade evaluates a whole [T, s] block of trials
+    in one call (independent draws, so parallel evaluation + lowest-accepting-
+    trial selection is exactly the sequential first-accept-wins result).
+    A walker's (cand, accept) depends only on its own uniform values — never on
+    batch width or position — so any schedule execution yields identical
+    results (the cross-layout bitwise guarantee).
+    """
+    E = g.num_edges
+
+    def membership(cand, hb, hm):
+        """cand in N(prev): one ALIGNED bucket-row gather + 4 compares (packed;
+        a key's only possible home is bucket h & hm of its row), else
+        HASH_PROBES separate open-addressing gathers (unpacked fallback)."""
+        h = (cand.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
+        if packed:
+            win = g.hash_buckets[hb + (h & hm)]   # [..., BUCKET_SLOTS]
+            return jnp.any(win == cand[..., None], axis=-1)
+        member = None
+        for i in range(HASH_PROBES):
+            hit = g.hash_table[hb + ((h + i) & hm)] == cand
+            member = hit if member is None else (member | hit)
+        return member
+
+    def trial(u3, rs, rd, hb, hm, pi):
+        """One trial for a (sub)batch with uniforms u3 = (u_pos, u_keep,
+        u_acc), row starts rs, degrees rd, hash meta (hb, hm), prev ids pi."""
+        u_pos, u_keep, u_acc = u3
+        jpos = jnp.minimum((u_pos * rd.astype(u_pos.dtype)).astype(jnp.int32),
+                           jnp.maximum(rd - 1, 0))
+        k = jnp.clip(rs + jpos, 0, max(E - 1, 0))
+        if packed:
+            apk = g.alias_packed[k]
+            aprob = jax.lax.bitcast_convert_type(apk[..., 0], jnp.float32)
+            cand = jnp.where(u_keep < aprob, apk[..., 1], apk[..., 2])
+        else:
+            pos = jnp.where(u_keep < g.alias_prob[k], jpos, g.alias_pos[k])
+            cand = g.cols[jnp.clip(rs + pos, 0, max(E - 1, 0))]
+        one = jnp.float32(1.0)
+        if q == 1.0:
+            # member and non-member classes are both 1 — no membership probe
+            f = jnp.where(cand == pi, one / p, one)
+        else:
+            member = membership(cand, hb, hm)
+            f = jnp.where(cand == pi, one / p,
+                          jnp.where(member, one, one / q))
+        return cand, u_acc * max_f < f
+
+    return trial
+
+
+def _row_meta_for(g: DeviceGraph, cur_row, prev_row, packed: bool, meta):
+    """(row start, degree, hash base, hash mask) per walker; `meta` precomputed
+    by the caller (the vmeta carry) skips the gathers."""
+    if meta is not None:
+        return meta
+    if packed:
+        rm = g.row_meta[cur_row]
+        hmeta = g.hash_meta[prev_row]
+        return rm[:, 0], rm[:, 1], hmeta[:, 0], hmeta[:, 1]
+    row_start = g.offsets[cur_row]
+    row_deg = g.offsets[cur_row + 1] - row_start
+    return row_start, row_deg, g.hash_offsets[prev_row], g.hash_mask[prev_row]
+
+
+def rejection_sample_static(g: DeviceGraph, cur_row: jax.Array,
+                            prev_row: jax.Array, prev_id: jax.Array,
+                            alive: jax.Array, draw_uniforms, p: float,
+                            q: float, n_iters: int = 0, max_rounds: int = 16,
+                            gather=None, k_candidates: int = 4,
+                            tail_draw=None, tail_idx=None, meta=None
+                            ) -> tuple[jax.Array, jax.Array]:
+    """Second-order draw with the SAME trial schedule as `rejection_sample`
+    but a CONTROL-FLOW-FREE execution plan. Returns (dst, overflow i32 scalar).
+
+    Motivation (measured on v5e, round 5): a `lax.while_loop` inside the walk
+    scan costs milliseconds per step even when it iterates ZERO times — the
+    dynamic sampler's overflow-drain + tail loops were 4x the cost of the
+    gather-bound dense trials themselves. This plan replaces them with a static
+    cascade:
+
+      phase 1: DENSE_TRIALS trials at full width (identical to the dynamic
+        sampler's dense phase);
+      tail: a cascade of STATIC_LEVELS compaction levels. Each level's
+        stragglers compact (one `nonzero` over the PREVIOUS level's buffer —
+        only level 1 scans the full batch) into a width-scaled buffer, and
+        that level's trials are evaluated as ONE batched [T, s] block —
+        independent draws, so the lowest accepting trial index IS the
+        sequential first-accept result; the last level runs whatever remains
+        of the trial budget.
+
+    Exactness: every walker that gets a compaction slot executes its full
+    max_rounds*k_candidates trial budget, consuming the SAME per-(trial,
+    walker) uniforms as the dynamic schedule — bitwise-identical corpora
+    (asserted by tests/test_sampling.py::test_static_matches_dynamic).
+    Walkers that do NOT fit a buffer (overflow — requires straggler rates far
+    above anything the planned bias regimes produce; capacities are 4-20x the
+    measured rates) keep their last candidate and are COUNTED in the returned
+    overflow scalar: callers re-dispatch the whole corpus on the dynamic
+    engine when it is nonzero (engine.random_walks), so full-budget schedule
+    semantics are preserved end to end in every regime.
+    """
+    max_f = max(1.0 / p, 1.0, 1.0 / q)
+    max_trials = max_rounds * k_candidates
+    dead_dst = cur_row * 0
+    W = cur_row.shape[0]
+    pick = gather if gather is not None else (lambda u: u)
+    packed = g.row_meta is not None
+    zero = jnp.int32(0)
+
+    row_start, row_deg, hash_base, hash_mask = _row_meta_for(
+        g, cur_row, prev_row, packed, meta)
+    trial = _make_trial(g, p, q, max_f, packed)
+
+    def dense_u(j):
+        return tuple(pick(u) for u in draw_uniforms(j))
+
+    if p == 1.0 and q == 1.0:
+        # bias ≡ 1 ⇒ trial 0 always accepts (see rejection_sample)
+        cand, _ = trial(dense_u(0), row_start, row_deg, hash_base, hash_mask,
+                        prev_id)
+        return cand, zero
+
+    def fold(state, cand, acc):
+        """First-accept-wins bookkeeping for one full-width trial."""
+        accepted, dst, cand_last = state
+        take = acc & ~accepted
+        dst = jnp.where(take, cand, dst)
+        cand_last = jnp.where(~accepted & ~acc, cand, cand_last)
+        return accepted | acc, dst, cand_last
+
+    if tail_idx is None:
+        tail_idx = jnp.arange(W, dtype=jnp.int32)
+
+    nd = min(DENSE_TRIALS, max_trials)
+    state = (~alive, dead_dst, dead_dst)
+    for j in range(nd):
+        state = fold(state, *trial(dense_u(j), row_start, row_deg, hash_base,
+                                   hash_mask, prev_id))
+    accepted, dst, cand_last = state
+    if max_trials <= nd:
+        return jnp.where(accepted, dst, cand_last), zero
+
+    def block_u(j, ti, sel):
+        """Uniforms for trial j of a compacted block at global positions ti
+        (sel is the legacy full-stream fallback selector, cf. tail_u)."""
+        if tail_draw is not None:
+            return tail_draw(j, ti)
+        return tuple(sel(u) for u in draw_uniforms(j))
+
+    def par_trials(j0, T, pre_done, cl, rs, rd, hb, hm, pi, ti, sel):
+        """Trials j0..j0+T-1 for one compacted block as ONE [T, s] batch.
+        pre_done marks padding lanes (their cl value passes through);
+        returns (done, final) where never-accepting lanes take the LAST
+        trial's candidate — exactly the sequential schedule's cand_last."""
+        us = [block_u(j0 + j, ti, sel) for j in range(T)]
+        u3 = tuple(jnp.stack([u[i] for u in us]) for i in range(3))  # [T, s]
+        pib = pi[None] if getattr(pi, "ndim", 0) else pi
+        cand, acc = trial(u3, rs[None], rd[None], hb[None], hm[None], pib)
+        acc = acc & ~pre_done[None]
+        hit = jnp.any(acc, axis=0)
+        firstj = jnp.argmax(acc, axis=0)
+        chosen = jnp.take_along_axis(cand, firstj[None], axis=0)[0]
+        final = jnp.where(pre_done, cl, jnp.where(hit, chosen, cand[-1]))
+        return pre_done | hit, final
+
+    # tail: level cascade. Each level compacts the PREVIOUS level's
+    # stragglers (so only the level-1 `nonzero` scans the full batch) and
+    # runs its trials as one parallel block; parent results are patched on
+    # the way back out.
+    strag = alive & ~accepted
+    n_str = jnp.sum(strag, dtype=jnp.int32)
+    s1 = min(W, max(STATIC_S_FLOOR, W // STATIC_LEVELS[0][0]))
+    ci = jnp.nonzero(strag, size=s1, fill_value=W)[0]
+    overflow = jnp.maximum(n_str - s1, 0)
+    vc = ci < W
+    cic = jnp.minimum(ci, W - 1).astype(jnp.int32)
+    blk = dict(
+        pre_done=~vc, cl=cand_last[cic], rs=row_start[cic], rd=row_deg[cic],
+        hb=hash_base[cic], hm=hash_mask[cic],
+        pi=prev_id[cic] if getattr(prev_id, "ndim", 0) else prev_id,
+        ti=tail_idx[cic], orig=cic, width=s1)
+
+    j = nd
+    parents = []   # (parent fin, child slot, child valid, parent width)
+    fin = None
+    for li, (frac, t_lvl) in enumerate(STATIC_LEVELS):
+        last = li == len(STATIC_LEVELS) - 1
+        t = max_trials - j if last else min(t_lvl, max_trials - j)
+        if t <= 0:
+            break
+        sel = (lambda orig: lambda u: pick(u)[orig])(blk["orig"])
+        done, fin = par_trials(j, t, blk["pre_done"], blk["cl"], blk["rs"],
+                               blk["rd"], blk["hb"], blk["hm"], blk["pi"],
+                               blk["ti"], sel)
+        j += t
+        if last or j >= max_trials:
+            break
+        # descend: compact this block's stragglers into the next level
+        sw = blk["width"]
+        s_next = min(sw, max(STATIC_S_FLOOR, W // STATIC_LEVELS[li + 1][0]))
+        n_next = jnp.sum(~done, dtype=jnp.int32)
+        ci_n = jnp.nonzero(~done, size=s_next, fill_value=sw)[0]
+        overflow = overflow + jnp.maximum(n_next - s_next, 0)
+        v_n = ci_n < sw
+        cic_n = jnp.minimum(ci_n, sw - 1).astype(jnp.int32)
+        parents.append((fin, ci_n, v_n, sw))
+        blk = dict(
+            pre_done=~v_n, cl=fin[cic_n], rs=blk["rs"][cic_n],
+            rd=blk["rd"][cic_n], hb=blk["hb"][cic_n], hm=blk["hm"][cic_n],
+            pi=(blk["pi"][cic_n] if getattr(blk["pi"], "ndim", 0)
+                else blk["pi"]),
+            ti=blk["ti"][cic_n], orig=blk["orig"][cic_n], width=s_next)
+
+    # unwind: patch each level's results into its parent block
+    for pfin, ci_n, v_n, sw in reversed(parents):
+        slot = jnp.where(v_n, jnp.minimum(ci_n, sw - 1), sw)
+        fin = pfin.at[slot].set(fin, mode="drop")
+
+    dst = dst.at[ci].set(fin, mode="drop")
+    accepted = accepted.at[ci].set(True, mode="drop")
+    return jnp.where(accepted, dst, cand_last), overflow
+
 
 def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
                      prev_id: jax.Array, alive: jax.Array,
@@ -722,7 +962,6 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     """
     max_f = max(1.0 / p, 1.0, 1.0 / q)
     max_trials = max_rounds * k_candidates
-    E = g.num_edges
     # derive from cur_row (not a fresh constant) so the carry keeps the same
     # varying-manual-axes type as the loop outputs under shard_map
     dead_dst = cur_row * 0
@@ -734,59 +973,9 @@ def rejection_sample(g: DeviceGraph, cur_row: jax.Array, prev_row: jax.Array,
     # invariant across trials. The packed tables serve each pair with ONE 8-byte
     # slice gather instead of two; `meta` = (row_start, row_deg, hash_base,
     # hash_mask) precomputed by the caller (the vmeta carry) skips them entirely.
-    if meta is not None:
-        row_start, row_deg, hash_base, hash_mask = meta
-    elif packed:
-        rm = g.row_meta[cur_row]
-        row_start, row_deg = rm[:, 0], rm[:, 1]
-        hmeta = g.hash_meta[prev_row]
-        hash_base, hash_mask = hmeta[:, 0], hmeta[:, 1]
-    else:
-        row_start = g.offsets[cur_row]
-        row_deg = g.offsets[cur_row + 1] - row_start
-        hash_base = g.hash_offsets[prev_row]
-        hash_mask = g.hash_mask[prev_row]
-
-    def membership(cand, hb, hm):
-        """cand in N(prev): one ALIGNED bucket-row gather + 4 compares (packed;
-        a key's only possible home is bucket h & hm of its row), else
-        HASH_PROBES separate open-addressing gathers (unpacked fallback)."""
-        h = (cand.astype(jnp.uint32) * HASH_MULT).astype(jnp.int32)
-        if packed:
-            win = g.hash_buckets[hb + (h & hm)]   # [*, BUCKET_SLOTS]
-            return jnp.any(win == cand[:, None], axis=1)
-        member = None
-        for i in range(HASH_PROBES):
-            hit = g.hash_table[hb + ((h + i) & hm)] == cand
-            member = hit if member is None else (member | hit)
-        return member
-
-    def trial(u3, rs, rd, hb, hm, pi):
-        """One trial for the (sub)batch with uniforms u3 = (u_pos, u_keep,
-        u_acc), row starts rs, degrees rd, hash meta (hb, hm), prev ids pi.
-        A walker's (cand, accept) depends only on its own uniform values —
-        never on batch width or position — so the schedule can run densely or
-        compacted with identical results."""
-        u_pos, u_keep, u_acc = u3
-        jpos = jnp.minimum((u_pos * rd.astype(u_pos.dtype)).astype(jnp.int32),
-                           jnp.maximum(rd - 1, 0))
-        k = jnp.clip(rs + jpos, 0, max(E - 1, 0))
-        if packed:
-            apk = g.alias_packed[k]
-            aprob = jax.lax.bitcast_convert_type(apk[:, 0], jnp.float32)
-            cand = jnp.where(u_keep < aprob, apk[:, 1], apk[:, 2])
-        else:
-            pos = jnp.where(u_keep < g.alias_prob[k], jpos, g.alias_pos[k])
-            cand = g.cols[jnp.clip(rs + pos, 0, max(E - 1, 0))]
-        one = jnp.float32(1.0)
-        if q == 1.0:
-            # member and non-member classes are both 1 — no membership probe
-            f = jnp.where(cand == pi, one / p, one)
-        else:
-            member = membership(cand, hb, hm)
-            f = jnp.where(cand == pi, one / p,
-                          jnp.where(member, one, one / q))
-        return cand, u_acc * max_f < f
+    row_start, row_deg, hash_base, hash_mask = _row_meta_for(
+        g, cur_row, prev_row, packed, meta)
+    trial = _make_trial(g, p, q, max_f, packed)
 
     def dense_u(j):
         return tuple(pick(u) for u in draw_uniforms(j))

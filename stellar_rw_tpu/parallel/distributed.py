@@ -96,9 +96,12 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
     """All num_walks rounds of one walk per (padded) start vertex across S graph
     shards x L lanes, in a single dispatch.
 
-    Returns (paths i32[R*W_pad, L+2], diag i32[L+1, 3]): paths row r*W_pad + w is
+    Returns (paths i32[R*W_pad, L+2], diag i32[L+1, 4]): paths row r*W_pad + w is
     round r of walker w (-1 padded, bitwise equal to engine.walk_corpus); diag row t
-    is (boundary walkers, new dead-ends, exchange rounds) at superstep t.
+    is (boundary walkers, new dead-ends, exchange rounds, static-schedule
+    overflow) at superstep t. A nonzero overflow column means the caller must
+    re-dispatch with spec.schedule="dynamic" (distributed_random_walks and
+    multihost_random_walks do so automatically).
 
     `arrays` = stacked ShardedGraphHost arrays already as jnp; starts_pad length is a
     multiple of S*L; padded entries must carry start -1 (never sampled, all-(-1)
@@ -300,16 +303,21 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                     if use_vm:
                         pmv = pm if pm is not None else g.vmeta[prev_row]
                         meta = (vm[:, 0], vm[:, 1], pmv[:, 2], pmv[:, 3])
-                    dst = sampling.rejection_sample(
-                        g, cur_row, prev_row, fprev, can, draw, spec.p, spec.q,
-                        spec.n_search_iters, spec.max_rounds, gather=pick,
-                        k_candidates=spec.k_candidates,
+                    args = (g, cur_row, prev_row, fprev, can, draw, spec.p,
+                            spec.q, spec.n_search_iters, spec.max_rounds)
+                    kw = dict(
+                        gather=pick, k_candidates=spec.k_candidates,
                         tail_draw=(sampling.tail_uniforms_batched(
                             step_keys(t), W_pad)
                             if sampling.use_tail_draws(spec.rng_impl)
                             else None),
                         tail_idx=fgid_c, meta=meta)
-            return jnp.where(can, dst, -1), vm
+                    if spec.schedule == "static":
+                        dst, ovf = sampling.rejection_sample_static(*args,
+                                                                    **kw)
+                        return jnp.where(can, dst, -1), vm, ovf
+                    dst = sampling.rejection_sample(*args, **kw)
+            return jnp.where(can, dst, -1), vm, jnp.int32(0)
 
         a2a = lambda x: jax.lax.all_to_all(x, (AXIS, LANE), 0, 0, tiled=True)
         psum_all = lambda x: jax.lax.psum(x, (AXIS, LANE))
@@ -329,7 +337,8 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
             serialization.) Overflow rounds (rare) stay in the loop.
 
             Returns (dst i32[n] (-1 dead/inactive),
-                     diag (crossings, dead, exchange rounds))."""
+                     diag (crossings, dead, exchange rounds, static-schedule
+                     overflow))."""
             dest_shard = jnp.where(
                 alive,
                 (cur % S) if hash_mode
@@ -342,9 +351,10 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
             # remote requests balance across the owner's L lanes by walker id
             dest = dest_shard * L + (gids % L if L > 1 else 0)
 
-            def exchange(rem, dst):
+            def exchange(rem, dst, ovf):
                 """One bounded exchange round serving up to C requests per
-                destination device; returns (still-unserved, merged dst)."""
+                destination device; returns (still-unserved, merged dst,
+                accumulated static-schedule overflow)."""
                 dest_m = jnp.where(rem, dest, D)  # D = out of range -> dropped
                 order = jnp.argsort(dest_m, stable=True)
                 sd = dest_m[order]
@@ -366,42 +376,44 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                 s_slot = put(slots, n)
                 r_cur, r_prev, r_gid = a2a(s_cur), a2a(s_prev), a2a(s_gid)
                 fgid = r_gid.reshape(-1)
-                dst_r, _ = sample_req(r_cur.reshape(-1), r_prev.reshape(-1),
-                                      fgid, fgid >= 0, t, first)
+                dst_r, _, o = sample_req(r_cur.reshape(-1),
+                                         r_prev.reshape(-1),
+                                         fgid, fgid >= 0, t, first)
                 back = a2a(dst_r.reshape(D, C))
                 dst = dst.at[s_slot.reshape(-1)].set(
                     back.reshape(-1), mode="drop")
-                return rem & ~sent, dst
+                return rem & ~sent, dst, ovf + o
 
             if D == 1:
                 # no boundary possible: pure local superstep, zero collectives;
                 # pm carries prev's vmeta row like the single-chip engine
-                dst, vm = sample_req(cur, prev, gids, alive & is_local, t,
-                                     first, pm=pm)
+                dst, vm, ovf = sample_req(cur, prev, gids, alive & is_local, t,
+                                          first, pm=pm)
                 rounds = jnp.int32(0)
             else:
                 # peeled round 0: local sampling is traced AFTER the request
                 # a2a but joins the graph only at the scatter-merge inside
                 # exchange() via the dst argument — evaluation-order freedom
                 # is exactly the overlap window
-                dst_local, vm = sample_req(cur, prev, gids, alive & is_local,
-                                           t, first)
-                rem, dst = exchange(remaining, dst_local)
+                dst_local, vm, ovf = sample_req(cur, prev, gids,
+                                                alive & is_local, t, first)
+                rem, dst, ovf = exchange(remaining, dst_local, ovf)
                 g_rem = psum_all(jnp.sum(rem, dtype=jnp.int32))
 
                 def cond(carry):
                     return carry[3] > 0
 
                 def xbody(carry):
-                    rem, dst, rounds, _ = carry
-                    rem, dst = exchange(rem, dst)
+                    rem, dst, rounds, _, ovf = carry
+                    rem, dst, ovf = exchange(rem, dst, ovf)
                     g_rem = psum_all(jnp.sum(rem, dtype=jnp.int32))
-                    return rem, dst, rounds + jnp.int32(1), g_rem
+                    return rem, dst, rounds + jnp.int32(1), g_rem, ovf
 
-                _, dst, rounds, _ = jax.lax.while_loop(
-                    cond, xbody, (rem, dst, jnp.int32(1), g_rem))
+                _, dst, rounds, _, ovf = jax.lax.while_loop(
+                    cond, xbody, (rem, dst, jnp.int32(1), g_rem, ovf))
             dead = psum_all(jnp.sum(alive & (dst < 0), dtype=jnp.int32))
-            return dst, jnp.stack([crossings, dead, rounds]), vm
+            return dst, jnp.stack([crossings, dead, rounds,
+                                   psum_all(ovf)]), vm
 
         first, diag0, vm0 = advance(start_rows, start_rows, real, 0,
                                     first=True)
@@ -654,7 +666,8 @@ def log_superstep_diag(diag: np.ndarray) -> None:
     walkers. Rounds that actually carried traffic are diag[:, 0] > 0 (first
     round) plus max(diag[:, 2] - 1, 0) overflow rounds; stats reports them as
     `exchange_rounds_with_traffic` next to the raw total."""
-    for t, (crossings, dead, rounds) in enumerate(np.asarray(diag)):
+    for t, row in enumerate(np.asarray(diag)):
+        crossings, dead, rounds = row[0], row[1], row[2]
         logger.info(
             "superstep %d: boundary walkers=%d, zero neighbors=%d, "
             "exchange rounds=%d%s", t, crossings, dead, rounds,
@@ -679,6 +692,7 @@ def distributed_random_walks(
     rng_impl: str = "threefry",
     lanes: int = 1,
     streamed: bool = False,
+    schedule: str = "static",
 ):
     """Sharded corpus generation mirroring engine.random_walks — bitwise identical
     results for any shard count / lane count / route / exchange capacity (same
@@ -737,6 +751,7 @@ def distributed_random_walks(
         cdf_chunk=(sampling.plan_cdf_chunk_corpus(
             num_walks, W, graph.max_degree)
             if sampler == "cdf" else 0),
+        schedule=schedule,
     )
     starts_dev = jax.device_put(
         jnp.asarray(starts_pad),
@@ -745,9 +760,19 @@ def distributed_random_walks(
     paths, diag = distributed_walk_corpus(
         arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C,
         mesh, L)
+    diag = np.asarray(diag)
+    if diag.shape[1] > 3 and diag[:, 3].sum() > 0:
+        # static-cascade capacity exceeded somewhere: re-run on the dynamic
+        # schedule so every walker gets its full trial budget (engine docs)
+        logger.warning(
+            "static rejection schedule overflowed (%d walkers); re-running "
+            "corpus on the dynamic schedule", int(diag[:, 3].sum()))
+        paths, diag = distributed_walk_corpus(
+            arrays, route_dev, starts_dev, key, np.int32(0),
+            spec._replace(schedule="dynamic"), num_walks, S, C, mesh, L)
+        diag = np.asarray(diag)
     walks = np.asarray(paths).reshape(num_walks, W_pad, -1)[:, :W].reshape(
         num_walks * W, -1)
-    diag = np.asarray(diag)
     if verbose:
         log_superstep_diag(diag)
     if return_stats:
@@ -765,6 +790,8 @@ def distributed_random_walks(
             "exchange_rounds_total": int(diag[:, 2].sum()),
             "exchange_rounds_with_traffic": int(
                 (diag[:, 0] > 0).sum() + np.maximum(diag[:, 2] - 1, 0).sum()),
+            "static_schedule_overflow": (int(diag[:, 3].sum())
+                                         if diag.shape[1] > 3 else 0),
             "diag": diag,
         }
         return walks, stats

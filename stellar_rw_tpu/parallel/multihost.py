@@ -168,6 +168,14 @@ def multihost_random_walks(
     paths, diag = distributed.distributed_walk_corpus(
         arrays, route_dev, starts_dev, key, np.int32(0), spec, num_walks, S, C,
         mesh, L)
+    ovf = int(np.asarray(diag.addressable_data(0))[:, 3].sum())
+    if ovf > 0:
+        # static-cascade capacity exceeded: re-dispatch on the dynamic
+        # schedule (full trial budget; same decision on every process since
+        # diag is psum'd/replicated — SPMD-safe)
+        paths, diag = distributed.distributed_walk_corpus(
+            arrays, route_dev, starts_dev, key, np.int32(0),
+            spec._replace(schedule="dynamic"), num_walks, S, C, mesh, L)
     blocks = []
     rows_per_device = num_walks * W_pad // D
     for sh in paths.addressable_shards:

@@ -52,10 +52,20 @@ class WalkSpec(NamedTuple):
     #                              row slices (O(W*chunk) memory) instead of
     #                              padding every row to max_degree — the
     #                              extreme-p/q path on power-law graphs
+    schedule: str = "static"     # rejection trial execution plan: "static"
+    #                              (control-flow-free cascade + overflow
+    #                              counter, ~1.5x on v5e) or "dynamic"
+    #                              (while-loop compaction — the exact-in-all-
+    #                              regimes fallback walk_corpus callers
+    #                              re-dispatch on overflow)
 
 
 def sample_next(g: DeviceGraph, spec: WalkSpec, cur, prev, alive, step_key):
-    """One second-order transition for every walker (masked by `alive`)."""
+    """One second-order transition for every walker (masked by `alive`).
+
+    Always runs the DYNAMIC trial schedule (walk_once is the reference path;
+    the static cascade — bitwise-identical absent overflow — lives in
+    walk_corpus, which plumbs the overflow counter)."""
     dt = jnp.dtype(spec.dtype)
     if spec.sampler == "cdf":
         u = jax.random.uniform(step_key, cur.shape, dtype=dt)
@@ -129,14 +139,21 @@ def walk_once(g: DeviceGraph, starts: jax.Array, key: jax.Array, spec: WalkSpec)
 @partial(jax.jit, static_argnames=("spec", "num_walks"))
 def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
                 spec: WalkSpec, num_walks: int,
-                round_offset: jax.Array | int = 0) -> jax.Array:
-    """All `num_walks` rounds in ONE device dispatch -> [num_walks*W, L+2].
+                round_offset: jax.Array | int = 0
+                ) -> tuple[jax.Array, jax.Array]:
+    """All `num_walks` rounds in ONE device dispatch ->
+    ([num_walks*W, L+2] walks, i32 overflow counter).
 
     Bitwise identical to stacking num_walks calls of walk_once(g, starts,
     fold_in(key, r), spec): every walker consumes the same counter-based uniform
     stream (see round_uniforms_batched), but the device sees a num_walks-times
     larger dense batch per step — amortizing per-step gather latency and fixed
     kernel overhead that dominate small-graph rounds.
+
+    The overflow counter sums rejection_sample_static's skipped-straggler
+    counts across steps (always 0 for the dynamic/cdf paths); a nonzero value
+    means the caller must re-dispatch with schedule="dynamic" to preserve the
+    full trial-budget semantics (random_walks does this automatically).
     """
     W = starts.shape[0]
     R = num_walks
@@ -171,32 +188,37 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
         first = jnp.where(alive0, dst0, -1)
 
         def body_vm(carry, t):
-            cur, prev, alive, pm = carry
+            cur, prev, alive, pm, ovf = carry
             vm = g.vmeta[jnp.maximum(cur, 0)]
             alive = alive & (vm[:, 1] > 0)
-            dst = sampling.rejection_sample(
-                g, cur, prev, prev, alive,
-                sampling.round_uniforms_batched(step_keys(t), W,
-                                                spec.n_stream or None),
-                spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
+            kw = dict(
                 k_candidates=spec.k_candidates,
                 tail_draw=(sampling.tail_uniforms_batched(step_keys(t), W)
                            if sampling.use_tail_draws(spec.rng_impl)
                            else None),
                 meta=(vm[:, 0], vm[:, 1], pm[:, 2], pm[:, 3]))
+            args = (g, cur, prev, prev, alive,
+                    sampling.round_uniforms_batched(step_keys(t), W,
+                                                    spec.n_stream or None),
+                    spec.p, spec.q, spec.n_search_iters, spec.max_rounds)
+            if spec.schedule == "static":
+                dst, step_ovf = sampling.rejection_sample_static(*args, **kw)
+                ovf = ovf + step_ovf
+            else:
+                dst = sampling.rejection_sample(*args, **kw)
             out = jnp.where(alive, dst, -1)
             new_cur = jnp.where(alive, dst, cur)
             new_prev = jnp.where(alive, cur, prev)
             new_pm = jnp.where(alive[:, None], vm, pm)
-            return (new_cur, new_prev, alive, new_pm), out
+            return (new_cur, new_prev, alive, new_pm, ovf), out
 
-        (_, _, _, _), cols = jax.lax.scan(
+        (_, _, _, _, ovf), cols = jax.lax.scan(
             body_vm, (jnp.where(alive0, first, starts_b), starts_b, alive0,
-                      vm0),
+                      vm0, jnp.int32(0)),
             jnp.arange(1, spec.walk_length + 1))
         return jnp.concatenate(
             [starts_b[:, None], first[:, None], cols.T.astype(jnp.int32)],
-            axis=1)
+            axis=1), ovf
 
     if spec.sampler == "cdf":
         if spec.cdf_chunk:
@@ -212,7 +234,7 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
     first = jnp.where(alive0, dst0, -1)
 
     def body(carry, t):
-        cur, prev, alive = carry
+        cur, prev, alive, ovf = carry
         # clamp before any gather: cur is -1 for walkers dead since step 1 (see
         # body_vm / walk_once note — negative fused-gather indices can fault)
         cur = jnp.maximum(cur, 0)
@@ -227,23 +249,31 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
                     g, cur, prev, prev, uniforms_1d(t), spec.p, spec.q,
                     spec.max_degree, spec.n_search_iters, dt)
         else:
-            dst = sampling.rejection_sample(
-                g, cur, prev, prev, alive,
-                sampling.round_uniforms_batched(step_keys(t), W,
-                                                spec.n_stream or None),
-                spec.p, spec.q, spec.n_search_iters, spec.max_rounds,
+            kw = dict(
                 k_candidates=spec.k_candidates,
                 tail_draw=(sampling.tail_uniforms_batched(step_keys(t), W)
-                           if sampling.use_tail_draws(spec.rng_impl) else None))
+                           if sampling.use_tail_draws(spec.rng_impl)
+                           else None))
+            args = (g, cur, prev, prev, alive,
+                    sampling.round_uniforms_batched(step_keys(t), W,
+                                                    spec.n_stream or None),
+                    spec.p, spec.q, spec.n_search_iters, spec.max_rounds)
+            if spec.schedule == "static":
+                dst, step_ovf = sampling.rejection_sample_static(*args, **kw)
+                ovf = ovf + step_ovf
+            else:
+                dst = sampling.rejection_sample(*args, **kw)
         out = jnp.where(alive, dst, -1)
         new_cur = jnp.where(alive, dst, cur)
         new_prev = jnp.where(alive, cur, prev)
-        return (new_cur, new_prev, alive), out
+        return (new_cur, new_prev, alive, ovf), out
 
-    (_, _, _), cols = jax.lax.scan(
-        body, (first, starts_b, alive0), jnp.arange(1, spec.walk_length + 1))
+    (_, _, _, ovf), cols = jax.lax.scan(
+        body, (first, starts_b, alive0, jnp.int32(0)),
+        jnp.arange(1, spec.walk_length + 1))
     return jnp.concatenate(
-        [starts_b[:, None], first[:, None], cols.T.astype(jnp.int32)], axis=1)
+        [starts_b[:, None], first[:, None], cols.T.astype(jnp.int32)],
+        axis=1), ovf
 
 
 @jax.jit
@@ -293,6 +323,7 @@ def random_walks(
     max_batch_walkers: int = 2_000_000,
     as_numpy: bool = True,
     rng_impl: str = "threefry",
+    schedule: str = "static",
 ) -> np.ndarray:
     """Full corpus: num_walks rounds of one walk per vertex (reference
     RandomWalk.scala:82). Returns [num_walks * W, walk_length + 2] dense ids (-1 pad);
@@ -319,18 +350,37 @@ def random_walks(
         cdf_chunk=(sampling.plan_cdf_chunk_corpus(
             num_walks, len(starts), graph.max_degree)
             if sampler == "cdf" else 0),
+        schedule=schedule,
     )
     starts_dev = jnp.asarray(starts, dtype=jnp.int32)
     base = sampling.make_key(seed, rng_impl)
     W = len(starts)
     per_batch = max(1, min(num_walks, max_batch_walkers // max(W, 1)))
-    rounds = []
-    r = 0
-    while r < num_walks:
-        rb = min(per_batch, num_walks - r)
-        # np (host) scalar, not jnp: an eager device op interleaved between async
-        # dispatches stalls tunneled PJRT transports (see ops/sampling.HASH_MULT)
-        rounds.append(walk_corpus(g, starts_dev, base, spec, rb, np.int32(r)))
-        r += rb
-    out = jnp.concatenate(rounds, axis=0) if len(rounds) > 1 else rounds[0]
+
+    def run(spec):
+        rounds, ovfs = [], []
+        r = 0
+        while r < num_walks:
+            rb = min(per_batch, num_walks - r)
+            # np (host) scalar, not jnp: an eager device op interleaved between
+            # async dispatches stalls tunneled PJRT transports (see
+            # ops/sampling.HASH_MULT)
+            w, ovf = walk_corpus(g, starts_dev, base, spec, rb, np.int32(r))
+            rounds.append(w)
+            ovfs.append(ovf)
+            r += rb
+        out = jnp.concatenate(rounds, axis=0) if len(rounds) > 1 else rounds[0]
+        return out, sum(int(np.asarray(o)) for o in ovfs)
+
+    out, overflow = run(spec)
+    if overflow:
+        # static-cascade capacity exceeded (extreme straggler rate): re-run on
+        # the dynamic schedule so every walker gets its full trial budget.
+        # Bias regimes the planner routes here make this effectively
+        # unreachable (capacities are 4-20x measured straggler rates).
+        import logging
+        logging.getLogger("stellar_rw_tpu").warning(
+            "static rejection schedule overflowed (%d walkers); re-running "
+            "corpus on the dynamic schedule", overflow)
+        out, _ = run(spec._replace(schedule="dynamic"))
     return np.asarray(out) if as_numpy else out

@@ -129,8 +129,11 @@ def test_tail_compaction_matches_dense_schedule(monkeypatch):
     import stellar_rw_tpu.ops.sampling as sp
 
     graph = _random_graph(V=2000, E=16000, seed=21)
+    # schedule="dynamic" pins the while-loop sampler (TAIL_FRAC only exists
+    # there; the static cascade has its own parity suite,
+    # tests/test_static_schedule.py)
     kw = dict(walk_length=12, num_walks=2, p=4.0, q=0.25, seed=5,
-              sampler="rejection")  # extreme-ish bias -> real stragglers
+              sampler="rejection", schedule="dynamic")
     compacted = engine.random_walks(graph, **kw)
     monkeypatch.setattr(sp, "TAIL_FRAC", 1)  # s == W -> dense branch
     engine.walk_corpus.clear_cache()
