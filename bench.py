@@ -427,11 +427,13 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
     pairs = int(jnp.sum(v))
 
     out = {}
-    # "shared" = the round-4 default (dense shifted-window conv formulation);
-    # "shared_pos_r3" = the round-3 position-granular scatter path, kept as a
-    # measured ablation of the conv win (round-3 verdict item 3)
+    # "shared" = the default (dense shifted-window conv formulation);
+    # "shared_band_r5" = the same math as banded MXU matmuls (measured SLOWER
+    # — negative result kept on the scoreboard) and "shared_pos_r3" = the
+    # round-3 position-granular scatters, both measured ablations
     for label, shared, impl in (("exact", 0, "conv"),
                                 ("shared", 128, "conv"),
+                                ("shared_band_r5", 128, "band"),
                                 ("shared_pos_r3", 128, "pos")):
         times = {}
         for iters in (1, 1 + k_extra):

@@ -44,9 +44,11 @@ class SGNSConfig:
     power: float = 0.75      # unigram smoothing for negative table
     shared_negatives: int = 0  # >0: kB block-shared negatives (MXU path, see below)
     shared_impl: str = "conv"  # "conv": dense shifted-window shared path (no
-    #                            pair gathers/scatters — the round-4 default);
-    #                            "pos": round-3 position-granular scatters
-    #                            (kept for ablation; update-identical)
+    #                            pair gathers/scatters — the default);
+    #                            "band": the same math as banded [T,T] MXU
+    #                            matmuls (measured 4.8x SLOWER on v5e — kept
+    #                            as the documented ablation); "pos": round-3
+    #                            position-granular scatters (update-identical)
     use_pallas: bool | None = None  # fused shared-neg kernel ("pos" impl only);
     #                                 None = auto (TPU only)
     model_shards: int = 1    # >1: shard embedding tables over the embedding dim
@@ -58,9 +60,9 @@ class SGNSConfig:
     def __post_init__(self):
         # a typo'd shared_impl must error, not silently select another path
         # (ablation results would be mislabeled — round-4 advisor finding)
-        if self.shared_impl not in ("conv", "pos"):
-            raise ValueError(
-                f"shared_impl must be 'conv' or 'pos', got {self.shared_impl!r}")
+        if self.shared_impl not in ("band", "conv", "pos"):
+            raise ValueError(f"shared_impl must be 'band', 'conv' or 'pos', "
+                             f"got {self.shared_impl!r}")
 
 
 def _init_embeddings(vocab: int, dim: int, key) -> tuple[jax.Array, jax.Array]:
@@ -361,7 +363,7 @@ def _shift(x, d: int):
 
 def _sgns_apply_shared_conv(w_in, w_out, block, valid, negs, lr,
                             neg_weight: float, window: int, axis_name=None,
-                            dim_axis=None):
+                            dim_axis=None, band: bool = False):
     """Shared-negative SGNS step in the DENSE shifted-window formulation.
 
     Update-identical to _sgns_apply_shared_pos (same pair set, same gradients,
@@ -385,6 +387,18 @@ def _sgns_apply_shared_conv(w_in, w_out, block, valid, negs, lr,
 
     Embedding-table traffic (the measured binding resource) is unchanged from
     the _pos path: one gather + one scatter per block position per table.
+
+    band=True computes the SAME quantities through banded [T, T] batched
+    matmuls instead of 2w shifted elementwise passes (shared_impl="band"):
+    logits[b, t, i] = S[b, t, t+offs[i]] for S = ein @ eout^T, and both
+    gradient accumulations are G @ eout / G^T @ ein where G is g_pos
+    scattered back into its band — 3 MXU einsums replace ~6w VPU passes.
+    Update-identical up to fp summation order. MEASURED RESULT (v5e, round
+    5, [128, 82] blocks, D=128, w=10): band 2.42 ms/apply vs conv 0.50 —
+    XLA's batched small-T matmuls plus the [B, T, T] intermediates lose to
+    the fully fused VPU shift passes, so "conv" remains the default and
+    band ships as the documented ablation (cf. the Pallas one-hot-gather
+    negative result, BASELINE.md).
     """
     B, T = block.shape
     N = B * T
@@ -398,8 +412,19 @@ def _sgns_apply_shared_conv(w_in, w_out, block, valid, negs, lr,
     eout = w_out[tok].reshape(B, T, D)
     wn = w_out[negs]                                  # [kB, D]
 
-    logits = jnp.stack(
-        [jnp.sum(ein * _shift(eout, d), axis=-1) for d in offs], axis=-1)
+    if band:
+        pos = jnp.arange(T, dtype=jnp.int32)
+        idx = pos[:, None] + jnp.asarray(offs, jnp.int32)[None, :]  # [T, 2w]
+        idx_c = jnp.clip(idx, 0, T - 1)
+        S = jnp.einsum("btd,bud->btu", ein, eout,
+                       preferred_element_type=jnp.float32)      # [B, T, T]
+        # out-of-bounds band cells read clamped garbage; vf (which includes
+        # the in-bounds mask) zeroes their g_pos, exactly like _shift's pads
+        logits = jnp.take_along_axis(
+            S, jnp.broadcast_to(idx_c[None], (B, T, 2 * window)), axis=2)
+    else:
+        logits = jnp.stack(
+            [jnp.sum(ein * _shift(eout, d), axis=-1) for d in offs], axis=-1)
     negl = jnp.dot(ein.reshape(N, D), wn.T,
                    preferred_element_type=jnp.float32)           # [N, kB]
     if dim_axis is not None:
@@ -409,16 +434,30 @@ def _sgns_apply_shared_conv(w_in, w_out, block, valid, negs, lr,
     sneg = jax.nn.sigmoid(negl)                       # [N, kB]
     vcnt = jnp.sum(vf, axis=-1)                       # [B, T] pairs per center
 
-    # center-side: sum over offsets of g_pos * context-row + the per-position
-    # negative term (each valid pair contributes the SAME sigmoid(negl) @ wn)
-    acc_in_pos = sum(g_pos[..., i, None] * _shift(eout, d)
-                     for i, d in enumerate(offs))
-    acc_in_pos = acc_in_pos + jnp.dot(
-        sneg, wn, preferred_element_type=jnp.float32).reshape(B, T, D) \
-        * (neg_weight * vcnt)[..., None]
-    # context-side: back-shift each offset's g_pos * center-row into place
-    acc_out_pos = sum(_shift(g_pos[..., i, None] * ein, -d)
-                      for i, d in enumerate(offs))
+    if band:
+        # g_pos scattered into its band (masked cells add exact 0.0 at the
+        # clamped slot); the two accumulations become batched MXU matmuls
+        G = jnp.zeros((B, T, T), jnp.float32).at[
+            :, pos[:, None], idx_c].add(g_pos)
+        acc_in_pos = jnp.einsum("btu,bud->btd", G, eout,
+                                preferred_element_type=jnp.float32)
+        acc_out_pos = jnp.einsum("btu,btd->bud", G, ein,
+                                 preferred_element_type=jnp.float32)
+        acc_in_pos = acc_in_pos + jnp.dot(
+            sneg, wn, preferred_element_type=jnp.float32).reshape(B, T, D) \
+            * (neg_weight * vcnt)[..., None]
+    else:
+        # center-side: sum over offsets of g_pos * context-row + the
+        # per-position negative term (each valid pair contributes the SAME
+        # sigmoid(negl) @ wn)
+        acc_in_pos = sum(g_pos[..., i, None] * _shift(eout, d)
+                         for i, d in enumerate(offs))
+        acc_in_pos = acc_in_pos + jnp.dot(
+            sneg, wn, preferred_element_type=jnp.float32).reshape(B, T, D) \
+            * (neg_weight * vcnt)[..., None]
+        # context-side: back-shift each offset's g_pos * center-row into place
+        acc_out_pos = sum(_shift(g_pos[..., i, None] * ein, -d)
+                          for i, d in enumerate(offs))
     cnt_in_pos = vcnt.reshape(N)
     cnt_out_pos = sum(_shift(vf[..., i], -d)
                       for i, d in enumerate(offs)).reshape(N)
@@ -472,16 +511,18 @@ def _train_epoch(w_in, w_out, corpus, neg_keep, neg_alias, key,
         kb = jax.random.fold_in(key, i)
         frac = i.astype(jnp.float32) / n_blocks
         lr = lr_start * (1 - frac) + lr_end * frac
-        if shared_negatives and shared_impl == "conv":
+        if shared_negatives and shared_impl in ("conv", "band"):
             # dense shifted-window formulation: no pair gathers/scatters at
-            # all (same pair set + negatives — identical key consumption)
+            # all (same pair set + negatives — identical key consumption);
+            # "band" runs the offset reductions as banded MXU matmuls
             valid, _ = _valid_for_block(block, kb, window)
             negs = _draw_negatives(jax.random.fold_in(kb, 2),
                                    (shared_negatives,), neg_keep, neg_alias)
             w_in, w_out = _sgns_apply_shared_conv(
                 w_in, w_out, block, valid, negs, lr,
                 neg_weight=negatives / shared_negatives, window=window,
-                axis_name=axis_name, dim_axis=dim_axis)
+                axis_name=axis_name, dim_axis=dim_axis,
+                band=shared_impl == "band")
         elif shared_negatives:
             # position-granular path: table row traffic scales with B*T, not
             # B*T*2*window (same pair set + negatives as the pair-granular

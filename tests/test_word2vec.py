@@ -297,3 +297,31 @@ def test_shared_conv_dp_branch_matches_pos_dp_branch():
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(a_out), np.asarray(b_out),
                                rtol=2e-4, atol=2e-6)
+
+
+def test_shared_band_matches_conv():
+    """The banded-matmul formulation (shared_impl="band" — kept as a measured
+    ablation; v5e runs it slower than conv) must compute the same update as
+    the conv formulation, including with padding present."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    V, D, B, T, win, kB = 400, 32, 6, 23, 5, 64
+    block = rng.integers(0, V, (B, T)).astype(np.int32)
+    block[2, 15:] = -1                     # padding present
+    key = jax.random.PRNGKey(11)
+    valid, _ = w2v._valid_for_block(jnp.asarray(block), key, win)
+    negs = jnp.asarray(rng.integers(0, V, kB).astype(np.int32))
+    w_in = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    w_out = jnp.asarray((rng.standard_normal((V, D)) * 0.1).astype(np.float32))
+    a_in, a_out = w2v._sgns_apply_shared_conv(
+        w_in, w_out, jnp.asarray(block), valid, negs, 0.1,
+        neg_weight=5 / kB, window=win)
+    b_in, b_out = w2v._sgns_apply_shared_conv(
+        w_in, w_out, jnp.asarray(block), valid, negs, 0.1,
+        neg_weight=5 / kB, window=win, band=True)
+    np.testing.assert_allclose(np.asarray(a_in), np.asarray(b_in),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a_out), np.asarray(b_out),
+                               rtol=2e-4, atol=2e-6)
