@@ -412,8 +412,8 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
     reported end-to-end times, where ~0.5 s of transport RTT swamped the
     ~0.1 s device epoch and understated throughput ~7x. A speed-of-light row
     accounts the binding resource: embedding-table row transactions (gathers +
-    scatter updates), measured at ~7e7 aligned row accesses/s on this chip —
-    NOT MXU flops, which are <1% occupied at these shapes."""
+    scatter updates) at the chip's LIVE-measured aligned-row rate — NOT MXU
+    flops, which are <1% occupied at these shapes."""
     import jax
     import jax.numpy as jnp
 
@@ -426,7 +426,13 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
         jnp.asarray(corpus), jax.random.PRNGKey(seed), window)
     pairs = int(jnp.sum(v))
 
-    out = {}
+    # live per-transaction row rate for the bound (the v5e worker's rate
+    # changed mid-round-5; fall back to the recorded constant)
+    try:
+        row_rate = measure_gather_rates()["row16B_per_s"]
+    except Exception:  # noqa: BLE001 — bound only, keep benching
+        row_rate = ROW16_TRANSACTIONS_PER_S_V5E
+    out = {"row_rate_used": row_rate}
     # "shared" = the default (dense shifted-window conv formulation);
     # "shared_band_r5" = the same math as banded MXU matmuls (measured SLOWER
     # — negative result kept on the scoreboard) and "shared_pos_r3" = the
@@ -455,7 +461,7 @@ def measure_sgns_samples_per_s(vocab=10_000, n_walks=2_000, T=41, seed=0,
             "end_to_end_epoch_s": round(times[1], 3),
             "pairs": pairs,
             "est_table_row_transactions_per_epoch": row_txn,
-            "row_txn_bound_epoch_s": round(row_txn / 7.0e7, 4),
+            "row_txn_bound_epoch_s": round(row_txn / row_rate, 4),
         }
     return out
 

@@ -103,7 +103,10 @@ def test_superstep_diagnostics(karate_path):
     walks, stats = distributed.distributed_random_walks(
         g, walk_length=6, num_walks=1, seed=3, num_shards=4, return_stats=True)
     diag = stats["diag"]
-    assert diag.shape == (7, 3)  # walk_length + 1 supersteps (first-order + L)
+    # walk_length + 1 supersteps (first-order + L) x (crossings, dead, rounds,
+    # static-schedule overflow)
+    assert diag.shape == (7, 4)
+    assert stats["static_schedule_overflow"] == 0
     # karate has no dead ends (connected, undirected)
     assert stats["zero_neighbors"] == 0
     # hash routing on karate: most transitions cross shards
