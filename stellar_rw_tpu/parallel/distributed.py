@@ -312,7 +312,10 @@ def distributed_walk_corpus(arrays, route, starts_pad, key, round_offset,
                             if sampling.use_tail_draws(spec.rng_impl)
                             else None),
                         tail_idx=fgid_c, meta=meta)
-                    if spec.schedule == "static":
+                    # static needs the per-lane tail streams ('rbg' keys
+                    # have none — see engine.walk_corpus): dynamic otherwise
+                    if spec.schedule == "static" and \
+                            kw["tail_draw"] is not None:
                         dst, ovf = sampling.rejection_sample_static(*args,
                                                                     **kw)
                         return jnp.where(can, dst, -1), vm, ovf

@@ -201,7 +201,10 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
                     sampling.round_uniforms_batched(step_keys(t), W,
                                                     spec.n_stream or None),
                     spec.p, spec.q, spec.n_search_iters, spec.max_rounds)
-            if spec.schedule == "static":
+            # static needs the per-lane tail streams; 'rbg' keys (no
+            # vmap-stable slices) would otherwise draw full-width uniforms
+            # for EVERY tail trial — route them to the dynamic schedule
+            if spec.schedule == "static" and kw["tail_draw"] is not None:
                 dst, step_ovf = sampling.rejection_sample_static(*args, **kw)
                 ovf = ovf + step_ovf
             else:
@@ -258,7 +261,10 @@ def walk_corpus(g: DeviceGraph, starts: jax.Array, key: jax.Array,
                     sampling.round_uniforms_batched(step_keys(t), W,
                                                     spec.n_stream or None),
                     spec.p, spec.q, spec.n_search_iters, spec.max_rounds)
-            if spec.schedule == "static":
+            # static needs the per-lane tail streams; 'rbg' keys (no
+            # vmap-stable slices) would otherwise draw full-width uniforms
+            # for EVERY tail trial — route them to the dynamic schedule
+            if spec.schedule == "static" and kw["tail_draw"] is not None:
                 dst, step_ovf = sampling.rejection_sample_static(*args, **kw)
                 ovf = ovf + step_ovf
             else:

@@ -106,3 +106,16 @@ def test_distributed_static_overflow_fallback(monkeypatch):
     finally:
         distributed.distributed_walk_corpus.clear_cache()
         engine.walk_corpus.clear_cache()
+
+
+def test_rbg_keys_route_to_dynamic_schedule():
+    """'rbg' keys have no vmap-stable per-lane tail streams, so the engine must
+    run the dynamic schedule under them even when schedule='static' (the
+    static cascade would otherwise draw full-width uniforms for every tail
+    trial). Both spellings must agree bitwise."""
+    g = _random_graph(V=200, E=1600, seed=17)
+    kw = dict(walk_length=8, num_walks=2, p=0.5, q=2.0, seed=3,
+              sampler="rejection", rng_impl="rbg")
+    static = engine.random_walks(g, schedule="static", **kw)
+    dynamic = engine.random_walks(g, schedule="dynamic", **kw)
+    np.testing.assert_array_equal(static, dynamic)
