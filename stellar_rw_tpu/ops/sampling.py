@@ -13,12 +13,18 @@ Two samplers implement the same transition distribution:
     the dst==prev > prev-membership > else precedence (RandomSample.scala:36-39).
     O(max_degree) work per walker per step; used for parity tests and small graphs.
 
-  * `rejection_sample` — O(1) alias-table draw from the first-order distribution
-    (candidate ∝ w) followed by acceptance with probability f(dst)/max_f where
-    f ∈ {1/p, 1, 1/q} is the node2vec bias. Accepted samples are distributed
-    ∝ w·f(dst), i.e. exactly the reference's second-order distribution, without ever
-    materializing the biased row. O(log deg) membership test per trial. This is the
-    production sampler for power-law graphs.
+  * `rejection_sample` / `rejection_sample_static` — O(1) alias-table draw from
+    the first-order distribution (candidate ∝ w) followed by acceptance with
+    probability f(dst)/max_f where f ∈ {1/p, 1, 1/q} is the node2vec bias.
+    Accepted samples are distributed ∝ w·f(dst), i.e. exactly the reference's
+    second-order distribution, without ever materializing the biased row.
+    O(log deg) membership test per trial. Both execute the SAME per-(trial,
+    walker) schedule — `_static` through a control-flow-free compaction cascade
+    (the production plan; a while_loop inside the walk scan costs milliseconds
+    per step on v5e even at zero iterations) and the dynamic form through
+    while-loop compaction (the exact-in-all-regimes fallback the engines
+    re-dispatch on cascade overflow). Corpora are bitwise identical across the
+    two whenever no compaction buffer overflows.
 
 Prev-membership (`dst in N(prev)`, the `exists` scan at RandomSample.scala:38) is a
 vectorized binary search over rows kept sorted by the CSR builder.
