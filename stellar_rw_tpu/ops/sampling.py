@@ -884,9 +884,11 @@ def rejection_sample_static(g: DeviceGraph, cur_row: jax.Array,
         pi=prev_id[cic] if getattr(prev_id, "ndim", 0) else prev_id,
         ti=tail_idx[cic], orig=cic, width=s1)
 
+    assert all(t > 0 for _, t in STATIC_LEVELS[:-1]), \
+        "non-final STATIC_LEVELS need a positive trial count"
     j = nd
     parents = []   # (parent fin, child slot, child valid, parent width)
-    fin = None
+    fin = cand_last[cic]   # in case the budget is exhausted before any level
     for li, (frac, t_lvl) in enumerate(STATIC_LEVELS):
         last = li == len(STATIC_LEVELS) - 1
         t = max_trials - j if last else min(t_lvl, max_trials - j)
